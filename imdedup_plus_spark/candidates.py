@@ -1,0 +1,133 @@
+"""Stage 1b — LSH bucket self-pairing, verification, best-base vote.
+
+Recasts the reference's detection stage (``/root/reference/2df.c:428-549``):
+probing ``SF_NUM`` in-memory feature hash tables becomes a
+``groupBy(band_id, band_hash)`` self-join — the shuffle *is* the hash table;
+the per-candidate matching-SF count and arg-max vote (``2df.c:459-499``)
+become an aggregate + window; the optional DC-coefficient check
+(FEATURE_CHECK, ``2df.c:471-475``) becomes signature-level verification
+(count of equal MinHash positions -> estimated Jaccard).
+
+Scale notes (100 TB):
+
+* ``bucket_cap`` drops buckets bigger than the cap *before* pairing — a band
+  hash shared by millions of boilerplate pages would otherwise explode the
+  self-join quadratically. This is the single most important web-scale
+  defense; dropped buckets are observable via ``hot_buckets``.
+* The self-join key is (band_id, band_hash); AQE skew-join splitting handles
+  residual imbalance below the cap (enable ``spark.sql.adaptive.enabled``).
+* Everything here is expressible in ANSI SQL — the DuckDB oracle replays it
+  bit-for-bit (``oracle.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+
+def band_buckets(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
+    """(band_id, band_hash, bucket_size) for every occupied bucket."""
+    return bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.col(id_col)).cast("long").alias("bucket_size")
+    )
+
+
+def hot_buckets(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
+    """Buckets dropped by the cap — the observability side-channel the
+    reference keeps as its feature-collision counter (``main.c:483-487``)."""
+    return band_buckets(bands, cfg, id_col).where(F.col("bucket_size") > cfg.bucket_cap)
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
+    """Within-bucket self-pairing -> (id_a, id_b, n_matching_bands).
+
+    ``id_a < id_b`` canonical orientation (the reference's base/target order
+    is arrival order, ``2df.c:462-498``; ours is id order — deterministic and
+    order-free). Buckets of size 1 or larger than the cap are pruned before
+    the join, so the quadratic step only ever sees bounded buckets.
+    """
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
+    kept = sized.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    ).select(id_col, "band_id", "band_hash")
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs0 = a.join(b, ["band_id", "band_hash"], "inner").where(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    return (
+        pairs0.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_bands"))
+        .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str
+) -> DataFrame:
+    """FEATURE_CHECK analog: count equal signature positions per pair.
+
+    Adds ``n_eq`` (0..n_perm); ``n_eq / n_perm`` is the MinHash estimate of
+    the Jaccard similarity. Pairs below ``verify_threshold_num`` are LSH
+    false positives and are dropped (protects precision, and keeps the span
+    stage from wasting work — the OMIT_LOW_DELTA spirit,
+    ``/root/reference/idelta.c:403-419``).
+    """
+    sigs = sig_df.select(F.col(id_col), F.col("sig"))
+    sa = sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a")
+    sb = sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b")
+    n_eq = (
+        f"CAST(size(filter(sequence(1, {cfg.n_perm}), "
+        f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS BIGINT)"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_eq", F.expr(n_eq))
+        .where(F.col("n_eq") >= cfg.verify_threshold_num)
+        .select("id_a", "id_b", "n_matching_bands", "n_eq")
+    )
+
+
+def best_base(verified: DataFrame) -> DataFrame:
+    """Per-target arg-max vote (``/root/reference/2df.c:484-495``).
+
+    Target = ``id_b`` (the later id), base = ``id_a``; ties broken by higher
+    ``n_eq`` then smaller base id — deterministic, unlike the reference's
+    arrival-order scan.
+    """
+    w = (
+        Window.partitionBy("id_b")
+        .orderBy(
+            F.col("n_matching_bands").desc(), F.col("n_eq").desc(), F.col("id_a").asc()
+        )
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("target_id"),
+            F.col("id_a").alias("base_id"),
+            "n_matching_bands",
+            "n_eq",
+        )
+    )
+
+
+def unique_documents(valid_docs: DataFrame, verified: DataFrame, id_col: str) -> DataFrame:
+    """Left-anti pass-through: documents in no verified pair
+    (``/root/reference/2df.c:545-548`` writes them out verbatim)."""
+    members = (
+        verified.select(F.col("id_a").alias(id_col))
+        .union(verified.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return valid_docs.join(members, id_col, "left_anti")

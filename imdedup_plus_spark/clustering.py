@@ -1,0 +1,88 @@
+"""Stage 1c — duplicate clusters via iterative min-label propagation.
+
+The reference chains target -> best-earlier-base greedily within a batch
+(``/root/reference/2df.c:459-498``), which implicitly builds base/target
+chains. We make the grouping explicit and order-free: connected components
+over the verified-pair graph, cluster id = min(id) of the component
+(deterministic representative, SURVEY.md §7 M4).
+
+Algorithm: min-label propagation — each node starts labeled with itself;
+every iteration each node takes the min of its own label and its neighbors'
+labels; converged when no label changes. Iterations are bounded by the
+component diameter; dedup components are variant fan-outs (tiny diameter),
+so a handful of iterations suffices. ``localCheckpoint`` every iteration
+cuts the lineage chain (otherwise plan depth grows linearly and the driver
+OOMs planning at scale).
+
+Scale notes (100 TB): each iteration is one shuffle (groupBy dst). The edge
+list is |verified pairs| * 2 — tiny relative to the corpus. For adversarial
+graph shapes (long chains), swap in large-star/small-star; for web dedup the
+simple variant converges in < 5 iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(id, cluster_id) for every node; singleton -> its own id.
+
+    ``nodes``: one column ``id_col``; ``edges``: columns ``id_a``, ``id_b``
+    (undirected, any orientation).
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels.id, "inner")
+            .select(F.col("dst").alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("new_label") != F.col("old_label")).limit(1).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def clusters_from_pairs(
+    valid_docs: DataFrame, verified_pairs: DataFrame, id_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Cluster every valid document; docs in no pair become singletons."""
+    nodes = valid_docs.select(id_col).distinct()
+    return connected_components(nodes, verified_pairs, id_col, max_iter=max_iter)
+
+
+def cluster_sizes(clusters: DataFrame) -> DataFrame:
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )

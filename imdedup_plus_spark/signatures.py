@@ -1,0 +1,236 @@
+"""Stage 1a — tokenize, shingle, MinHash signatures, LSH bands.
+
+Recasts the reference's feature sketch (``/root/reference/2df.c:152-423``):
+the per-block sliding window over the Feature Bitmap becomes word shingling;
+the ``FEATURE_NUM`` max-hash permutations ``k_index[m]*h + b_index[m]``
+(``2df.c:230-247``) become the per-permutation extrema below; the grouping of
+``FEA_PER_SF`` features into ``SF_NUM`` super-features **by summation**
+(``2df.c:400-419``) becomes the band digest.
+
+Two interchangeable implementations, bit-identical by construction (tested):
+
+* ``with_signature`` — Spark built-in higher-order functions only. Stays on
+  the JVM, lets Catalyst prune/push down, zero Python in the hot path. This
+  is also the arithmetic the DuckDB oracle replays (see ``oracle.py``).
+* ``signature_kernel_arrow`` — vectorized numpy kernel behind
+  ``mapInPandas`` for clusters where per-char HOF folding is the bottleneck.
+
+Scale notes (100 TB): both paths are narrow maps — no shuffle. The band
+explode multiplies rows by ``n_bands`` (8) but each row is ~24 bytes; the
+following groupBy(band_id, band_hash) is the first shuffle of the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import (
+    HASH_MOD,
+    PERM_P,
+    SHINGLE_MULT,
+    WORD_MULT,
+    DedupConfig,
+)
+
+# ---------------------------------------------------------------------------
+# Spark SQL expression builders (shared arithmetic with oracle.py)
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text_col: str) -> str:
+    """Lowercased whitespace tokens, empty strings dropped."""
+    return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+
+
+def word_hash_lambda(var: str = "w") -> str:
+    """Polynomial char hash: fold ``acc*31 + codepoint(c) mod 2**31``."""
+    return (
+        f"aggregate(split({var}, ''), 0L, "
+        f"(acc, c) -> (acc * {WORD_MULT} + ascii(c)) % {HASH_MOD})"
+    )
+
+
+def word_hashes_expr(tokens_col: str) -> str:
+    return f"transform({tokens_col}, w -> {word_hash_lambda('w')})"
+
+
+def shingles_expr(wh_col: str, window: int) -> str:
+    """w-gram shingle hashes: fold ``acc*1000003 + h mod 2**31`` per window."""
+    return (
+        f"CASE WHEN size({wh_col}) < {window} THEN array() "
+        f"ELSE transform(sequence(0, size({wh_col}) - {window}), i -> "
+        f"aggregate(slice({wh_col}, i + 1, {window}), 0L, "
+        f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})) END"
+    )
+
+
+def feature_expr(shingles_col: str, k: int, b: int) -> str:
+    """Max-hash feature for one permutation (parity: 2df.c:232-247 keeps max)."""
+    return (
+        f"aggregate({shingles_col}, 0L, "
+        f"(acc, s) -> greatest(acc, ({k} * s + {b}) % {PERM_P}))"
+    )
+
+
+def signature_expr(shingles_col: str, cfg: DedupConfig) -> str:
+    ks, bs = cfg.perms
+    feats = ", ".join(feature_expr(shingles_col, ks[m], bs[m]) for m in range(cfg.n_perm))
+    return f"array({feats})"
+
+
+def band_hash_expr(sig_col: str, band_id_expr: str, rows_per_band: int) -> str:
+    """Band digest = SUM of the band's features (parity: 2df.c:409-411)."""
+    if rows_per_band == 1:
+        return f"element_at({sig_col}, {band_id_expr} + 1)"
+    return (
+        f"aggregate(slice({sig_col}, {band_id_expr} * {rows_per_band} + 1, "
+        f"{rows_per_band}), 0L, (a, x) -> a + x)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stages
+# ---------------------------------------------------------------------------
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.expr(tokens_expr(text_col)))
+
+
+def valid_documents(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+    """Validity filter — analog of the decode filter that rejects non-JPEG /
+    progressive / tiny images (``/root/reference/jpeg.c:18,27-32``).
+
+    Documents failing it are *not* lost: `pipeline.py` routes them to the
+    pass-through output, mirroring the reference's verbatim write of
+    undecodable files (``/root/reference/2df.c:545-548``).
+    """
+    out = with_tokens(df, text_col).where(F.size("tokens") >= cfg.min_tokens)
+    if cfg.langs is not None:
+        out = out.where(F.col("lang").isin(list(cfg.langs)))
+    return out
+
+
+def with_signature(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text"
+) -> DataFrame:
+    """Add ``sig ARRAY<BIGINT>`` (length ``cfg.n_perm``) to each row.
+
+    Narrow map; requires the validity filter first (needs >= 1 shingle).
+    """
+    if "tokens" not in df.columns:
+        df = with_tokens(df, text_col)
+    return (
+        df.withColumn("word_hashes", F.expr(word_hashes_expr("tokens")))
+        .withColumn("shingles", F.expr(shingles_expr("word_hashes", cfg.shingle_window)))
+        .withColumn("sig", F.expr(signature_expr("shingles", cfg)))
+        .drop("word_hashes")
+    )
+
+
+def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
+    """``(id, sig)`` -> ``(id, band_id, band_hash)`` — one row per band.
+
+    The subsequent ``groupBy(band_id, band_hash)`` *is* the reference's
+    ``SF_NUM`` in-memory feature hash tables (``/root/reference/2df.c:458,
+    501-516``): the shuffle materializes the same value->members mapping.
+    """
+    band = F.explode(F.sequence(F.lit(0), F.lit(cfg.n_bands - 1))).alias("band_id")
+    out = sig_df.select(F.col(id_col), F.col("sig"), band)
+    return out.select(
+        F.col(id_col),
+        F.col("band_id"),
+        F.expr(band_hash_expr("sig", "band_id", cfg.rows_per_band)).alias("band_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Arrow kernel (scale path; identical arithmetic, tested equal)
+# ---------------------------------------------------------------------------
+
+
+def _sig_of_text_py(text: str, cfg: DedupConfig) -> list[int] | None:
+    """Pure-python reference of the signature arithmetic (for tests/kernel)."""
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < max(cfg.min_tokens, cfg.shingle_window):
+        return None
+    whs = []
+    for w in toks:
+        h = 0
+        for c in w:
+            h = (h * WORD_MULT + ord(c)) % HASH_MOD
+        whs.append(h)
+    win = cfg.shingle_window
+    shingles = []
+    for i in range(len(whs) - win + 1):
+        acc = 0
+        for h in whs[i : i + win]:
+            acc = (acc * SHINGLE_MULT + h) % HASH_MOD
+        shingles.append(acc)
+    ks, bs = cfg.perms
+    sig = []
+    for m in range(cfg.n_perm):
+        k, b = ks[m], bs[m]
+        sig.append(max((k * s + b) % PERM_P for s in shingles))
+    return sig
+
+
+def signature_kernel_arrow(
+    df: DataFrame, cfg: DedupConfig, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """mapInPandas signature kernel: ``(id, sig)`` rows, numpy-vectorized.
+
+    Arrow-batched (no per-row Python at the executor boundary); the inner
+    token loop is numpy modular arithmetic on uint64. Rows failing the
+    validity filter are dropped (same contract as ``valid_documents`` +
+    ``with_signature``).
+    """
+    import numpy as np
+
+    ks, bs = cfg.perms
+    ks_a = np.array(ks, dtype=np.uint64)
+    bs_a = np.array(bs, dtype=np.uint64)
+    win, n_perm = cfg.shingle_window, cfg.n_perm
+    min_toks = max(cfg.min_tokens, cfg.shingle_window)
+    P = np.uint64(PERM_P)
+    M = np.uint64(HASH_MOD)
+    WM = np.uint64(WORD_MULT)
+    SM = np.uint64(SHINGLE_MULT)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = [t for t in str(text).lower().split() if t]
+                if len(toks) < min_toks:
+                    continue
+                wh = np.fromiter(
+                    (_word_hash_np(t, WM, M) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                sh = wh[: len(wh) - win + 1].copy()
+                for j in range(1, win):
+                    sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
+                vals = (sh[None, :] * ks_a[:, None] + bs_a[:, None]) % P
+                sigs.append(vals.max(axis=1).astype(np.int64).tolist())
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    id_field = df.schema[id_col]
+    schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+def _word_hash_np(tok: str, wm, m) -> int:
+    import numpy as np
+
+    h = np.uint64(0)
+    for c in tok:
+        h = (h * wm + np.uint64(ord(c))) % m
+    return int(h)
