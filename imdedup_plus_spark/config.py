@@ -102,9 +102,15 @@ class DedupConfig:
     ``min_tokens``    : validity filter, analog of the decode filter that
                         rejects images < 64x64 (``/root/reference/jpeg.c:27-32``)
     ``band_match_threshold`` : minimum matching bands to consider a pair
-    ``verify_threshold_num`` : minimum equal signature positions (out of
-                        ``n_perm``) for a verified pair — the FEATURE_CHECK
-                        analog (``/root/reference/2df.c:471-475``)
+    ``verify_mode``   : 'jaccard' (default) verifies candidates by exact
+                        shingle-set Jaccard — the FEATURE_CHECK analog
+                        (``/root/reference/2df.c:471-475``): check real
+                        content, not just the sketch. 'sketch' uses equal
+                        signature positions instead (cheaper, noisier).
+    ``verify_jaccard_pct`` : integer percent; pair verified iff
+                        ``100 * |inter| >= pct * |union|`` (pure integer
+                        math so the DuckDB oracle is bit-exact)
+    ``verify_threshold_num`` : 'sketch' mode: min equal positions of n_perm
     ``bucket_cap``    : LSH buckets larger than this are dropped (hot-band
                         boilerplate defense; the web-scale skew path)
     ``omit_low_delta``: minimum matched fraction before span extraction,
@@ -116,6 +122,8 @@ class DedupConfig:
     shingle_window: int = 2
     min_tokens: int = 2
     band_match_threshold: int = 1
+    verify_mode: str = "jaccard"
+    verify_jaccard_pct: int = 30
     verify_threshold_num: int = 4    # of n_perm equal positions (>= 50% est. Jaccard)
     bucket_cap: int = 1000
     omit_low_delta: float = 0.001

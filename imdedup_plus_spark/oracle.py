@@ -74,6 +74,15 @@ def pipeline_ctes(cfg: DedupConfig, id_col: str = "doc_id", table: str = "docume
         f"CAST(len(list_filter(generate_series(1, {cfg.n_perm}), "
         f"i -> sa.sig[i] = sb.sig[i])) AS BIGINT)"
     )
+    inter = (
+        "CAST(len(list_filter(sa.shingle_set, "
+        "x -> list_contains(sb.shingle_set, x))) AS BIGINT)"
+    )
+    un = f"CAST(len(sa.shingle_set) + len(sb.shingle_set) AS BIGINT) - ({inter})"
+    if cfg.verify_mode == "jaccard":
+        verify_filter = f"({inter}) * 100 >= ({un}) * {cfg.verify_jaccard_pct}"
+    else:
+        verify_filter = f"({n_eq}) >= {cfg.verify_threshold_num}"
     return f"""
 docs AS (
   SELECT {id_col} AS id, text, {tokens_sql('text')} AS tokens FROM {table}
@@ -88,7 +97,9 @@ sh AS (
   SELECT id, {shingles_sql('whs', cfg.shingle_window)} AS shingles FROM wh
 ),
 sig AS (
-  SELECT id, {signature_sql('shingles', cfg)} AS sig FROM sh WHERE len(shingles) > 0
+  SELECT id, {signature_sql('shingles', cfg)} AS sig,
+         list_sort(list_distinct(shingles)) AS shingle_set
+  FROM sh WHERE len(shingles) > 0
 ),
 bands AS (
   SELECT id, CAST(t.band_id AS INT) AS band_id,
@@ -114,11 +125,12 @@ cand_pairs AS (
   HAVING count(*) >= {cfg.band_match_threshold}
 ),
 verified AS (
-  SELECT p.id_a, p.id_b, p.n_matching_bands, {n_eq} AS n_eq
+  SELECT p.id_a, p.id_b, p.n_matching_bands, {n_eq} AS n_eq,
+         {inter} AS inter, {un} AS un
   FROM cand_pairs p
   JOIN sig sa ON sa.id = p.id_a
   JOIN sig sb ON sb.id = p.id_b
-  WHERE {n_eq} >= {cfg.verify_threshold_num}
+  WHERE {verify_filter}
 ),
 edges_sym AS (
   SELECT id_a AS src, id_b AS dst FROM verified

@@ -129,7 +129,8 @@ def with_signature(
         df.withColumn("word_hashes", F.expr(word_hashes_expr("tokens")))
         .withColumn("shingles", F.expr(shingles_expr("word_hashes", cfg.shingle_window)))
         .withColumn("sig", F.expr(signature_expr("shingles", cfg)))
-        .drop("word_hashes")
+        .withColumn("shingle_set", F.array_sort(F.array_distinct("shingles")))
+        .drop("word_hashes", "shingles")
     )
 
 

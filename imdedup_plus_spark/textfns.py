@@ -1,0 +1,241 @@
+"""Text-analysis operators for a training-data pipeline.
+
+Beyond the reference's own operator set (SURVEY.md §2.2): token counting,
+quality scoring, language-ID heuristic, document fingerprinting, SimHash.
+Every function is implemented twice from the same constants — as Spark
+built-in expressions (JVM-side) and as DuckDB oracle SQL — with arithmetic
+restricted to integers / well-ordered folds so the side-by-side check is
+bit-exact. ``floor()`` (not casts) converts ratios to integers: Spark CAST
+truncates while DuckDB CAST rounds, so casts on ratios would diverge.
+
+Scale notes: all are narrow per-row maps over ``tokens``; no shuffles
+except the final groupBys of the fingerprint dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import HASH_MOD, SHINGLE_MULT, K_INDEX
+from .signatures import tokens_expr, word_hashes_expr
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "un", "une", "pour", "que"),
+    "es": ("el", "los", "y", "es", "en", "un", "una", "por", "para", "con"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+PUNCT = ".,!?;:"
+SIMHASH_BITS = 32
+
+
+def _inlist(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Spark expressions (over a df that already has `tokens`)
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, total_token_chars, n_chars)."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({tokens_expr(text_col)}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform({tokens_expr(text_col)}, t -> CAST(length(t) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("total_token_chars"),
+        F.expr(f"CAST(length({text_col}) AS BIGINT)").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features, all integer (permille ratios via floor):
+    stopword density, punctuation density, mean token length, plus the
+    composite ``quality_permille`` (stopword-rich, moderately long tokens =
+    high quality — the usual web-text filter shape)."""
+    toks = tokens_expr(text_col)
+    all_stop = _inlist(tuple(w for ws in STOPWORDS.values() for w in ws))
+    punct_cls = "[.,!?;:]"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter({toks}, t -> t IN ({all_stop}))) AS BIGINT)"
+        ).alias("n_stopwords"),
+        F.expr(
+            f"CAST(length({text_col}) - length(regexp_replace({text_col}, "
+            f"'{punct_cls}', '')) AS BIGINT)"
+        ).alias("n_punct"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(floor(1000.0 * n_stopwords / n_tokens) AS BIGINT) END"
+        ).alias("stopword_permille"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE CAST(least(1000, "
+            "floor(500.0 * n_stopwords / n_tokens) + "
+            "CASE WHEN n_tokens >= 50 THEN 500 ELSE floor(10.0 * n_tokens) END"
+            ") AS BIGINT) END"
+        ).alias("quality_permille"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax in LANG_ORDER."""
+    toks = tokens_expr(text_col)
+    sel = [F.col(id_col)]
+    for lg in LANG_ORDER:
+        sel.append(
+            F.expr(
+                f"CAST(size(filter({toks}, t -> t IN ({_inlist(STOPWORDS[lg])}))) "
+                "AS BIGINT)"
+            ).alias(f"h_{lg}")
+        )
+    base = docs.select(*sel)
+    cases = []
+    for lg in LANG_ORDER:
+        conds = " AND ".join(
+            f"h_{lg} >= h_{other}" for other in LANG_ORDER if other != lg
+        )
+        cases.append(f"WHEN h_{lg} > 0 AND {conds} THEN '{lg}'")
+    pred = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return base.select(id_col, *[f"h_{lg}" for lg in LANG_ORDER], F.expr(pred).alias("predicted_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Whole-document rolling hash (the FIX_OPTI exact-dup prepass analog,
+    ``/root/reference/2df.c:477-494``): fold the word-hash stream."""
+    whs = word_hashes_expr(tokens_expr(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate({whs}, 0L, (a, h) -> (a * {SHINGLE_MULT} + h) % {HASH_MOD})"
+        ).alias("fingerprint"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate assignment: every doc -> representative (min id of
+    its identical-fingerprint group) + group size. The cheap pre-pass that
+    removes identical docs before LSH (SURVEY.md §4 FIX_OPTI row)."""
+    fp = fingerprint(docs, id_col, text_col)
+    grp = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("exact_rep"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return fp.join(grp, "fingerprint").select(id_col, "fingerprint", "exact_rep", "group_size")
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word hashes: bit b set iff strictly more than
+    half the tokens have bit b set. Integer-only; BIGINT result."""
+    whs = word_hashes_expr(tokens_expr(text_col))
+    expr = (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, b) -> acc + "
+        f"CASE WHEN 2 * size(filter({whs}, h -> (h div shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1)) "
+        f"> size({whs}) THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)"
+    )
+    return docs.select(F.col(id_col), F.expr(expr).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same constants, same arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def token_stats_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+SELECT {id_col},
+  CAST(len({toks}) AS BIGINT) AS n_tokens,
+  CAST(coalesce(list_aggregate(list_transform({toks}, t -> CAST(length(t) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_token_chars,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM {table}"""
+
+
+def quality_score_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql
+
+    toks = tokens_sql("text")
+    all_stop = _inlist(tuple(w for ws in STOPWORDS.values() for w in ws))
+    return f"""
+WITH q AS (
+  SELECT {id_col},
+    CAST(len({toks}) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter({toks}, t -> t IN ({all_stop}))) AS BIGINT) AS n_stopwords,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM {table}
+)
+SELECT {id_col}, n_tokens, n_stopwords, n_punct,
+  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(1000.0 * n_stopwords / n_tokens) AS BIGINT) END AS stopword_permille,
+  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE CAST(least(1000, floor(500.0 * n_stopwords / n_tokens) + CASE WHEN n_tokens >= 50 THEN 500 ELSE floor(10.0 * n_tokens) END) AS BIGINT) END AS quality_permille
+FROM q"""
+
+
+def lang_id_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql
+
+    toks = tokens_sql("text")
+    hits = ",\n    ".join(
+        f"CAST(len(list_filter({toks}, t -> t IN ({_inlist(STOPWORDS[lg])}))) AS BIGINT) AS h_{lg}"
+        for lg in LANG_ORDER
+    )
+    cases = []
+    for lg in LANG_ORDER:
+        conds = " AND ".join(f"h_{lg} >= h_{o}" for o in LANG_ORDER if o != lg)
+        cases.append(f"WHEN h_{lg} > 0 AND {conds} THEN '{lg}'")
+    pred = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+WITH h AS (
+  SELECT {id_col},
+    {hits}
+  FROM {table}
+)
+SELECT {id_col}, h_en, h_de, h_fr, h_es, {pred} AS predicted_lang FROM h"""
+
+
+def fingerprint_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql, word_hashes_sql
+
+    whs = word_hashes_sql(tokens_sql("text"))
+    return f"""
+SELECT {id_col},
+  CASE WHEN len({whs}) = 0 THEN CAST(0 AS BIGINT)
+       ELSE list_reduce({whs}, (a, h) -> (a * {SHINGLE_MULT} + h) % {HASH_MOD}) END AS fingerprint
+FROM {table}"""
+
+
+def exact_dup_groups_sql(id_col: str, table: str = "documents") -> str:
+    fp = fingerprint_sql(id_col, table)
+    return f"""
+WITH fp AS ({fp}),
+grp AS (
+  SELECT fingerprint, min({id_col}) AS exact_rep, CAST(count(*) AS BIGINT) AS group_size
+  FROM fp GROUP BY 1
+)
+SELECT f.{id_col}, f.fingerprint, g.exact_rep, g.group_size
+FROM fp f JOIN grp g USING (fingerprint)"""
+
+
+def simhash_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql, word_hashes_sql
+
+    whs = word_hashes_sql(tokens_sql("text"))
+    return f"""
+WITH w AS (SELECT {id_col}, {whs} AS whs FROM {table})
+SELECT {id_col},
+  CAST(coalesce(list_aggregate(list_transform(generate_series(0, {SIMHASH_BITS - 1}), b ->
+    CASE WHEN 2 * len(list_filter(whs, h -> (h // (CAST(1 AS BIGINT) << b)) % 2 = 1)) > len(whs)
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum'), 0) AS BIGINT) AS simhash
+FROM w"""
