@@ -1,0 +1,192 @@
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+--scaling: the north-rule two-cluster-size evidence — run the identical
+full dedup pipeline on the identical input at local[8] and local[32],
+report docs/sec at both plus efficiency = T32 / (4 * T8); append the table
+to BENCH/BASELINE.md.
+
+Materialization uses the noop sink (write.format('noop')) so Catalyst
+cannot prune the measured columns away, and each query starts from parquet
+(no cross-query caching).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from imdedup_plus_spark import ann, candidates as C, clustering as CL
+from imdedup_plus_spark import signatures as S, spans as SP, textfns as T
+from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+from imdedup_plus_spark.session import get_spark
+
+ID = "doc_id"
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build_queries(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def q_signatures():
+        _force(S.with_signature(S.valid_documents(docs, CFG), CFG).select(ID, "sig"))
+
+    def q_verified_pairs():
+        sig = S.with_signature(S.valid_documents(docs, CFG), CFG)
+        bands = S.explode_bands(sig, CFG, ID)
+        _force(C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID))
+
+    def q_clusters():
+        sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+        bands = S.explode_bands(sig, CFG, ID)
+        ver = C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+        _force(CL.clusters_from_pairs(sig, ver, ID))
+        sig.unpersist()
+
+    def q_spans():
+        sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+        bands = S.explode_bands(sig, CFG, ID)
+        ver = C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+        best = C.best_base(ver)
+        _force(SP.extract_spans(SP.pair_texts_from_best_base(best, docs, ID), CFG))
+        sig.unpersist()
+
+    def q_exact_groups():
+        _force(T.exact_dup_groups(docs, ID))
+
+    def q_simhash():
+        _force(T.simhash(docs, ID))
+
+    def q_cosine_topk():
+        _force(ann.cosine_topk(emb))
+
+    def q_tpch_pricing():
+        from pyspark.sql import functions as F
+
+        _force(
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "sum_disc_price"
+                ),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    return {
+        "signatures": q_signatures,
+        "verified_pairs": q_verified_pairs,
+        "clusters": q_clusters,
+        "spans": q_spans,
+        "exact_groups": q_exact_groups,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "tpch_pricing": q_tpch_pricing,
+    }
+
+
+def run_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = build_queries(spark, sf_dir)
+    timings = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "n_docs": n_docs,
+                "docs_per_sec_full_pipeline": round(n_docs / timings["clusters"], 1)
+                if timings.get("clusters")
+                else None,
+            }
+        )
+    )
+
+
+def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> dict:
+    spark = get_spark(master=master, shuffle_partitions=shuffle_parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(input_path)
+    n_docs = docs.count()
+    # warm the JVM/IO once (fair comparison between the two cluster sizes)
+    _force(S.valid_documents(docs, CFG).select("tokens"))
+    t0 = time.time()
+    sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+    bands = S.explode_bands(sig, CFG, "url" if "url" in docs.columns else ID)
+    idc = "url" if "url" in docs.columns else ID
+    ver = C.verify_pairs(C.candidate_pairs(bands, CFG, idc), sig, CFG, idc)
+    cl = CL.clusters_from_pairs(sig, ver, idc)
+    _force(cl)
+    wall = time.time() - t0
+    sig.unpersist()
+    spark.stop()
+    return {"master": master, "n_docs": n_docs, "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
+def run_scaling(n_base: int = 20000) -> None:
+    """local[8] vs local[32] on the identical fixture corpus."""
+    corpus = f"/tmp/bench_corpus_{n_base}"
+    if not os.path.exists(corpus + "/_SUCCESS"):
+        from imdedup_plus_spark import fixtures as FX
+
+        spark = get_spark(master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        FX.generate_documents(spark, n_base=n_base).write.mode("overwrite").parquet(corpus)
+        spark.stop()
+
+    r8 = _pipeline_docs_per_sec("local[8]", corpus, 32)
+    r32 = _pipeline_docs_per_sec("local[32]", corpus, 64)
+    eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
+    result = {"N=local[8]": r8, "4N=local[32]": r32, "scaling_efficiency": eff}
+    print(json.dumps(result, indent=2))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as fh:
+        fh.write(
+            f"\n## Scaling run (north-rule evidence), corpus = {r8['n_docs']} docs\n\n"
+            "Full dedup pipeline (signatures -> LSH pairs -> verify -> CC clusters),\n"
+            "identical input and code at two parallelism levels:\n\n"
+            "| cluster size | wall sec | docs/sec |\n|---|---|---|\n"
+            f"| N (local[8]) | {r8['wall_sec']} | {r8['docs_per_sec']} |\n"
+            f"| 4N (local[32]) | {r32['wall_sec']} | {r32['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency = {r32['docs_per_sec']} / (4 x {r8['docs_per_sec']}) "
+            f"= {eff}** (target >= 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

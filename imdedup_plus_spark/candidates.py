@@ -146,6 +146,34 @@ def best_base(verified: DataFrame) -> DataFrame:
     )
 
 
+def short_doc_pairs(
+    valid_docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """SimHash fallback for short documents (north-star requirement).
+
+    MinHash over a handful of shingles is high-variance, so documents with
+    fewer than ``cfg.short_doc_tokens`` tokens additionally pair within
+    equal-SimHash buckets (Hamming distance 0 — near-identical token
+    distributions). Output shape matches ``candidate_pairs`` with
+    ``n_matching_bands = 0`` (these pairs bypassed the band vote); they are
+    verified by the same exact-Jaccard check downstream.
+    """
+    from .textfns import simhash
+
+    if cfg.short_doc_tokens <= 0:
+        raise ValueError("short_doc_tokens must be > 0 to use the fallback")
+    short = valid_docs.where(F.size("tokens") < cfg.short_doc_tokens)
+    sh = simhash(short, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return (
+        a.join(b, "simhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("n_matching_bands"))
+        .distinct()
+    )
+
+
 def unique_documents(valid_docs: DataFrame, verified: DataFrame, id_col: str) -> DataFrame:
     """Left-anti pass-through: documents in no verified pair
     (``/root/reference/2df.c:545-548`` writes them out verbatim)."""

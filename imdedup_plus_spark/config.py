@@ -129,6 +129,16 @@ class DedupConfig:
     omit_low_delta: float = 0.001
     langs: tuple[str, ...] | None = None   # None = keep all languages
     shuffle_partitions: int = 32
+    #: FIX_OPTI analog (2df.c:477-494): collapse exact-duplicate texts to one
+    #: representative BEFORE the LSH stages, then expand cluster ids back.
+    #: Web corpora are 30-50% exact dups, so this removes a third of the
+    #: quadratic candidate work at 100 TB. Off by default for oracle parity
+    #: of the stage-by-stage queries; the production pipeline turns it on.
+    exact_prepass: bool = False
+    #: SimHash fallback for short docs (north_star): docs with fewer than
+    #: this many tokens get extra candidate pairs from equal-SimHash buckets
+    #: (MinHash over a handful of shingles is noisy). 0 disables.
+    short_doc_tokens: int = 0
 
     @property
     def n_perm(self) -> int:

@@ -40,7 +40,14 @@ from . import signatures as S
 from . import spans as SP
 from .config import DedupConfig
 
-STAGES = ("signatures", "verified_pairs", "clusters", "spans", "span_summary")
+STAGES = (
+    "exact_groups",
+    "signatures",
+    "verified_pairs",
+    "clusters",
+    "spans",
+    "span_summary",
+)
 
 
 class CheckpointedPipeline:
@@ -109,20 +116,52 @@ class CheckpointedPipeline:
         cfg, idc = self.cfg, self.id_col
         valid = S.valid_documents(docs, cfg)
 
+        exact_groups = None
+        lsh_input = valid
+        if cfg.exact_prepass:
+            # FIX_OPTI analog: collapse identical texts to one representative
+            # before the quadratic stages (2df.c:477-494 / index.c:254-264)
+            from . import textfns as T
+
+            exact_groups = self._stage(
+                "exact_groups",
+                lambda: T.exact_dup_groups(valid, idc).select(idc, "exact_rep"),
+            )
+            lsh_input = valid.join(
+                exact_groups.where(F.col(idc) == F.col("exact_rep")).select(idc),
+                idc,
+            )
+
         sig = self._stage(
             "signatures",
-            lambda: S.with_signature(valid, cfg).select(idc, "sig"),
+            lambda: S.with_signature(lsh_input, cfg).select(idc, "sig", "shingle_set"),
         )
-        verified = self._stage(
-            "verified_pairs",
-            lambda: C.verify_pairs(
-                C.candidate_pairs(S.explode_bands(sig, cfg, idc), cfg, idc), sig, cfg, idc
-            ),
-        )
-        clusters = self._stage(
-            "clusters",
-            lambda: CL.clusters_from_pairs(sig, verified, idc),
-        )
+
+        def _build_verified() -> DataFrame:
+            pairs = C.candidate_pairs(S.explode_bands(sig, cfg, idc), cfg, idc)
+            if cfg.short_doc_tokens > 0:
+                pairs = (
+                    pairs.unionByName(C.short_doc_pairs(lsh_input, cfg, idc))
+                    .groupBy("id_a", "id_b")
+                    .agg(F.max("n_matching_bands").alias("n_matching_bands"))
+                )
+            return C.verify_pairs(pairs, sig, cfg, idc)
+
+        verified = self._stage("verified_pairs", _build_verified)
+
+        def _build_clusters() -> DataFrame:
+            rep_clusters = CL.clusters_from_pairs(sig, verified, idc)
+            if exact_groups is None:
+                return rep_clusters
+            # expand: every member inherits its representative's cluster id
+            return (
+                exact_groups.join(
+                    rep_clusters.withColumnRenamed(idc, "exact_rep"), "exact_rep"
+                )
+                .select(idc, "cluster_id")
+            )
+
+        clusters = self._stage("clusters", _build_clusters)
         spans = self._stage(
             "spans",
             lambda: SP.extract_spans(

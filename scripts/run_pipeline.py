@@ -1,0 +1,71 @@
+"""spark-submit entry point for the full dedup pipeline.
+
+Ships per the north rule::
+
+    zip -r imdedup_plus_spark.zip imdedup_plus_spark
+    spark-submit --py-files imdedup_plus_spark.zip scripts/run_pipeline.py \
+        --input /path/to/documents_parquet_or_table \
+        --workdir /path/to/checkpoints \
+        --id-col url [--resume]
+
+On a cluster, ``--input`` is the Iceberg/Parquet documents table; the
+workdir holds per-stage checkpoints + lineage manifests; re-running with
+the same workdir resumes from the last completed stage (idempotent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--n-bands", type=int, default=8)
+    ap.add_argument("--rows-per-band", type=int, default=1)
+    ap.add_argument("--shingle-window", type=int, default=2)
+    ap.add_argument("--bucket-cap", type=int, default=1000)
+    ap.add_argument("--verify-jaccard-pct", type=int, default=30)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from imdedup_plus_spark.config import DedupConfig
+    from imdedup_plus_spark.pipeline import CheckpointedPipeline
+    from imdedup_plus_spark.session import get_spark
+
+    cfg = DedupConfig(
+        n_bands=args.n_bands,
+        rows_per_band=args.rows_per_band,
+        shingle_window=args.shingle_window,
+        bucket_cap=args.bucket_cap,
+        verify_jaccard_pct=args.verify_jaccard_pct,
+    )
+    spark = get_spark(
+        app_name="imdedup-plus-spark-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    pipe = CheckpointedPipeline(spark, args.workdir, cfg, id_col=args.id_col)
+    res = pipe.run(docs)
+    summary = {
+        "n_docs": docs.count(),
+        "n_clusters": res["clusters"].select("cluster_id").distinct().count(),
+        "n_verified_pairs": res["verified_pairs"].count(),
+        "wall_sec": round(time.time() - t0, 2),
+        "lineage": pipe.lineage(),
+    }
+    print(json.dumps(summary, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

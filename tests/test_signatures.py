@@ -1,0 +1,70 @@
+"""Signature arithmetic: HOF path == pure-python reference == Arrow kernel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import signatures as S
+from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG, DedupConfig, perm_constants
+
+
+def test_python_reference_matches_spark_hof(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a b"),
+        (4, "x " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in S.with_signature(S.valid_documents(df, CFG), CFG).collect()
+    }
+    for doc_id, text in rows:
+        exp = S._sig_of_text_py(text, CFG)
+        assert got[doc_id] == exp, doc_id
+
+
+def test_arrow_kernel_matches_hof(spark, sf001_docs):
+    hof = S.with_signature(S.valid_documents(sf001_docs, CFG), CFG).select("doc_id", "sig")
+    arrow = S.signature_kernel_arrow(sf001_docs, CFG, "doc_id")
+    a = {r.doc_id: list(r.sig) for r in hof.collect()}
+    b = {r.doc_id: list(r.sig) for r in arrow.collect()}
+    assert a == b
+
+
+def test_validity_filter_drops_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two tokens")], "doc_id long, text string"
+    )
+    kept = [r.doc_id for r in S.valid_documents(df, CFG).select("doc_id").collect()]
+    assert kept == [3]
+
+
+def test_band_explode_shape(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sig = S.with_signature(S.valid_documents(df, CFG), CFG)
+    bands = S.explode_bands(sig, CFG, "doc_id").collect()
+    assert len(bands) == CFG.n_bands
+    assert sorted(b.band_id for b in bands) == list(range(CFG.n_bands))
+    # rows_per_band=1 -> band_hash == sig[band_id]
+    s = sig.collect()[0].sig
+    for b in bands:
+        assert b.band_hash == s[b.band_id]
+
+
+def test_rows_per_band_sum_digest(spark):
+    cfg = DedupConfig(n_bands=4, rows_per_band=2)
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    sig = S.with_signature(S.valid_documents(df, cfg), cfg)
+    s = sig.collect()[0].sig
+    bands = {b.band_id: b.band_hash for b in S.explode_bands(sig, cfg, "doc_id").collect()}
+    for i in range(4):
+        assert bands[i] == s[2 * i] + s[2 * i + 1]
+
+
+def test_perm_constants_derivation():
+    ks, bs = perm_constants(8)
+    assert len(ks) == len(bs) == 8
+    assert all(0 < k < 2**31 - 1 for k in ks)
+    assert all(0 <= b < 2**31 - 1 for b in bs)
