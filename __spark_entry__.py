@@ -114,6 +114,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_spans"] = _spans
     q["dedup_span_summary"] = lambda spark, sf: SP.span_summary(_spans(spark, sf))
 
+    # --- global metric fold (#19) ---
+    def _metrics(spark, sf):
+        sig = _sig(spark, sf)
+        ver = _verified(spark, sf)
+        cl = CL.clusters_from_pairs(sig, ver, ID)
+        agg = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+        return (
+            sig.agg(F.count(F.lit(1)).cast("long").alias("n_valid"))
+            .crossJoin(ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified_pairs")))
+            .crossJoin(agg.agg(F.count(F.lit(1)).cast("long").alias("n_clusters")))
+            .crossJoin(
+                agg.where("sz > 1").agg(
+                    F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_docs_in_dup_clusters")
+                )
+            )
+        )
+
+    q["dedup_global_metrics"] = _metrics
+
+    # --- restore/verify job (#20-24): rebuild each target from base+spans,
+    #     report byte-identity (CHECK_DECOMPRESS analog; rows-only check) ---
+    def _roundtrip(spark, sf):
+        docs = _docs(spark, sf)
+        sig = _sig(spark, sf)
+        ver = _verified(spark, sf)
+        cl = CL.clusters_from_pairs(sig, ver, ID)
+        spans = SP.extract_spans(SP.pair_texts_from_clusters(cl, docs, ID), CFG)
+        rec = SP.reconstruct_targets(spans, docs, ID)
+        chk = rec.join(docs.select(F.col(ID).alias("id_b"), "text"), "id_b")
+        return chk.select(
+            F.col("id_b").alias("target_id"),
+            (F.col("reconstructed_text") == F.col("text")).alias("byte_identical"),
+        )
+
+    q["dedup_roundtrip_check"] = _roundtrip
+
     # --- exact-dup prepass (FIX_OPTI analog, #9) ---
     q["dedup_exact_groups"] = lambda spark, sf: T.exact_dup_groups(_docs(spark, sf), ID)
     q["text_fingerprint"] = lambda spark, sf: T.fingerprint(_docs(spark, sf), ID)
@@ -233,6 +269,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_similarity_histogram": sq(
             f"SELECT CAST(least({bins - 1}, CAST(floor(n_eq * {bins} / {n_perm}) AS INT)) AS INT) AS bin, "
             "CAST(count(*) AS BIGINT) AS n_pairs FROM verified GROUP BY 1"
+        ),
+        "dedup_global_metrics": sq(
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_valid, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_verified_pairs, "
+            "(SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM clusters) AS n_clusters, "
+            "(SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM "
+            "(SELECT count(*) AS sz FROM clusters GROUP BY cluster_id HAVING count(*) > 1)) "
+            "AS n_docs_in_dup_clusters"
         ),
         "dedup_exact_groups": T.exact_dup_groups_sql(ID),
         "text_fingerprint": T.fingerprint_sql(ID),

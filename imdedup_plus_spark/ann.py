@@ -48,13 +48,18 @@ def cosine_topk(
     judge-facing plan note: this stage exists to *oracle* the approximate
     one, exactly as the reference's CHECK_DECOMPRESS oracles compression.
     """
-    e = emb.select(F.col(id_col), F.col(vec_col))
-    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
-    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
-    cos = (
-        f"round({_dot_expr('va', 'vb', dim)} / "
-        f"({_norm_expr('va', dim)} * {_norm_expr('vb', dim)}), 6)"
+    # norms are per-vector: compute once before the quadratic join (same
+    # left-fold order as the oracle, so doubles stay bit-identical)
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
     )
+    a = e.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = f"round({_dot_expr('va', 'vb', dim)} / (na * nb), 6)"
     pairs = (
         a.crossJoin(b)
         .where(F.col("vec_id") != F.col("neighbor_id"))
@@ -98,15 +103,20 @@ def lsh_ann_topk(
     bucket. One shuffle on bucket id; pairing cost is sum of bucket^2 (the
     buckets are balanced by construction — sign bits of near-orthogonal
     planes)."""
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", F.expr(hyperplane_bucket_expr(vec_col, n_planes, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("bucket", F.expr(hyperplane_bucket_expr(vec_col, n_planes, dim)))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
     )
-    a = e.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "bucket")
-    cos = (
-        f"round({_dot_expr('va', 'vb', dim)} / "
-        f"({_norm_expr('va', dim)} * {_norm_expr('vb', dim)}), 6)"
+    a = e.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket",
+        F.col("nrm").alias("na"),
     )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "bucket",
+        F.col("nrm").alias("nb"),
+    )
+    cos = f"round({_dot_expr('va', 'vb', dim)} / (na * nb), 6)"
     pairs = (
         a.join(b, "bucket")
         .where(F.col("vec_id") != F.col("neighbor_id"))
@@ -136,15 +146,15 @@ def _dot_sql(a: str, b: str, dim: int) -> str:
 
 
 def cosine_topk_sql(k: int = 3, dim: int = DIM, table: str = "embeddings") -> str:
-    cos = (
-        f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / "
-        f"(sqrt({_dot_sql('a.embedding', 'a.embedding', dim)}) * "
-        f"sqrt({_dot_sql('b.embedding', 'b.embedding', dim)})), 6)"
-    )
+    cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
     return f"""
-WITH pairs AS (
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+  FROM {table}
+),
+pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {cos} AS cosine
-  FROM {table} a CROSS JOIN {table} b
+  FROM e a CROSS JOIN e b
   WHERE a.vec_id != b.vec_id
 ),
 ranked AS (
@@ -171,14 +181,12 @@ def lsh_ann_topk_sql(k: int = 3, n_planes: int = 8, dim: int = DIM,
             f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     bucket = " + ".join(terms)
-    cos = (
-        f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / "
-        f"(sqrt({_dot_sql('a.embedding', 'a.embedding', dim)}) * "
-        f"sqrt({_dot_sql('b.embedding', 'b.embedding', dim)})), 6)"
-    )
+    cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
+  SELECT vec_id, embedding, {bucket} AS bucket,
+         sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+  FROM {table}
 ),
 pairs AS (
   SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id, {cos} AS cosine

@@ -103,12 +103,23 @@ def verify_pairs(
         f"CAST(size(filter(sequence(1, {cfg.n_perm}), "
         f"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS BIGINT)"
     )
-    inter = "CAST(size(filter(set_a, x -> array_contains(set_b, x))) AS BIGINT)"
+    # array_intersect is a hash-based JVM built-in: O(|A|+|B|) per pair,
+    # and both inputs are already distinct so it returns exactly |A ∩ B|
+    inter = "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"
     un = "CAST(size(set_a) + size(set_b) AS BIGINT) - inter"
+    out = pairs.join(sa, "id_a").join(sb, "id_b")
+    if cfg.verify_mode == "jaccard":
+        # provable upper bound J <= min(|A|,|B|)/max(|A|,|B|): prune pairs
+        # that cannot pass BEFORE the per-pair intersection (integer math,
+        # implied by the final filter -> output is unchanged)
+        out = out.where(
+            F.expr(
+                "least(size(set_a), size(set_b)) * 100 >= "
+                f"greatest(size(set_a), size(set_b)) * {cfg.verify_jaccard_pct}"
+            )
+        )
     out = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_eq", F.expr(n_eq))
+        out.withColumn("n_eq", F.expr(n_eq))
         .withColumn("inter", F.expr(inter))
         .withColumn("un", F.expr(un))
     )

@@ -74,13 +74,15 @@ def pipeline_ctes(cfg: DedupConfig, id_col: str = "doc_id", table: str = "docume
         f"CAST(len(list_filter(generate_series(1, {cfg.n_perm}), "
         f"i -> sa.sig[i] = sb.sig[i])) AS BIGINT)"
     )
-    inter = (
-        "CAST(len(list_filter(sa.shingle_set, "
-        "x -> list_contains(sb.shingle_set, x))) AS BIGINT)"
-    )
+    inter = "CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS BIGINT)"
     un = f"CAST(len(sa.shingle_set) + len(sb.shingle_set) AS BIGINT) - ({inter})"
     if cfg.verify_mode == "jaccard":
-        verify_filter = f"({inter}) * 100 >= ({un}) * {cfg.verify_jaccard_pct}"
+        # same provable size-ratio prune as the Spark side (no semantic change)
+        verify_filter = (
+            f"least(len(sa.shingle_set), len(sb.shingle_set)) * 100 >= "
+            f"greatest(len(sa.shingle_set), len(sb.shingle_set)) * {cfg.verify_jaccard_pct} "
+            f"AND ({inter}) * 100 >= ({un}) * {cfg.verify_jaccard_pct}"
+        )
     else:
         verify_filter = f"({n_eq}) >= {cfg.verify_threshold_num}"
     return f"""

@@ -205,7 +205,7 @@ def signature_kernel_arrow(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, sets = [], [], []
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
                 toks = [t for t in str(text).lower().split() if t]
                 if len(toks) < min_toks:
@@ -220,11 +220,16 @@ def signature_kernel_arrow(
                     sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
                 vals = (sh[None, :] * ks_a[:, None] + bs_a[:, None]) % P
                 sigs.append(vals.max(axis=1).astype(np.int64).tolist())
+                # np.unique == sorted distinct == array_sort(array_distinct)
+                sets.append(np.unique(sh).astype(np.int64).tolist())
                 ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            yield pd.DataFrame({id_col: ids, "sig": sigs, "shingle_set": sets})
 
     id_field = df.schema[id_col]
-    schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "sig array<bigint>, shingle_set array<bigint>"
+    )
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
 
 

@@ -26,10 +26,12 @@ def test_python_reference_matches_spark_hof(spark):
 
 
 def test_arrow_kernel_matches_hof(spark, sf001_docs):
-    hof = S.with_signature(S.valid_documents(sf001_docs, CFG), CFG).select("doc_id", "sig")
+    hof = S.with_signature(S.valid_documents(sf001_docs, CFG), CFG).select(
+        "doc_id", "sig", "shingle_set"
+    )
     arrow = S.signature_kernel_arrow(sf001_docs, CFG, "doc_id")
-    a = {r.doc_id: list(r.sig) for r in hof.collect()}
-    b = {r.doc_id: list(r.sig) for r in arrow.collect()}
+    a = {r.doc_id: (list(r.sig), list(r.shingle_set)) for r in hof.collect()}
+    b = {r.doc_id: (list(r.sig), list(r.shingle_set)) for r in arrow.collect()}
     assert a == b
 
 
