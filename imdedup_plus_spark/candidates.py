@@ -70,6 +70,59 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFram
     )
 
 
+def candidate_pairs_salted(
+    bands: DataFrame, cfg: DedupConfig, id_col: str, split_threshold: int = 64
+) -> DataFrame:
+    """Skew-defused pair generation — identical output to
+    ``candidate_pairs`` (tested), different physical shape.
+
+    Buckets larger than ``split_threshold`` get a salt ``s = pmod(
+    xxhash64(id), g)`` with ``g = ceil(size/threshold)`` and the pair space
+    is covered by the g x g salt-task grid: side A is replicated to tasks
+    ``(salt_a, j)`` for all j, side B to ``(i, salt_b)`` for all i, and the
+    join key is ``(band, ta, tb)``. An unordered pair {x, y} therefore
+    matches in exactly two cells — ``(salt_x, salt_y)`` with A=x and
+    ``(salt_y, salt_x)`` with A=y — and the ``id_a < id_b`` filter keeps
+    exactly one. One giant bucket becomes g^2 bounded join partitions
+    instead of one straggler task: the 'salted repartitioning of hot LSH
+    buckets' from SURVEY.md §4. Replication factor is g per side, i.e.
+    O(size^2 / threshold) work — the same pair count, spread evenly.
+
+    Buckets above ``cfg.bucket_cap`` are still dropped (boilerplate bands —
+    the quadratic pair *count* is inherent, no salt fixes that).
+    """
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
+    kept = sized.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    )
+    g = F.greatest(
+        F.lit(1), F.ceil(F.col("bucket_size") / split_threshold)
+    ).cast("int")
+    salted = kept.withColumn("g", g).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("g")).cast("int")
+    )
+    a = salted.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash",
+        F.col("salt").alias("ta"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("tb"),
+    )
+    b = salted.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash",
+        F.col("salt").alias("tb"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("ta"),
+    )
+    pairs0 = a.join(b, ["band_id", "band_hash", "ta", "tb"], "inner").where(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        pairs0.select("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_bands"))
+        .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
+    )
+
+
 def verify_pairs(
     pairs: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str
 ) -> DataFrame:

@@ -1,0 +1,57 @@
+"""Candidate generation: cap semantics, salted pairing equivalence."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import candidates as C, signatures as S
+from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+
+
+def _bands(spark, n_docs=60):
+    """Corpus with deliberate hot bands: all docs share a boilerplate
+    prefix so several band values repeat across many docs."""
+    rows = [
+        (i, "common header words here always the same " + " ".join(f"w{i}_{j}" for j in range(20)))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = S.with_signature(S.valid_documents(docs, CFG), CFG)
+    return S.explode_bands(sig, CFG, "doc_id")
+
+
+def test_salted_pairs_identical_to_direct(spark):
+    bands = _bands(spark)
+    direct = C.candidate_pairs(bands, CFG, "doc_id")
+    salted = C.candidate_pairs_salted(bands, CFG, "doc_id", split_threshold=8)
+    d = sorted(tuple(r) for r in direct.collect())
+    s = sorted(tuple(r) for r in salted.collect())
+    assert d == s
+    assert len(d) > 0
+
+
+def test_bucket_cap_drops_hot_buckets(spark):
+    bands = _bands(spark, n_docs=40)
+    tiny_cap = replace(CFG, bucket_cap=5)
+    capped = C.candidate_pairs(bands, tiny_cap, "doc_id")
+    uncapped = C.candidate_pairs(bands, CFG, "doc_id")
+    assert capped.count() < uncapped.count()
+    hot = C.hot_buckets(bands, tiny_cap, "doc_id")
+    assert hot.count() > 0
+    assert hot.agg(F.min("bucket_size")).collect()[0][0] > 5
+
+
+def test_pair_orientation_canonical(spark):
+    bands = _bands(spark, n_docs=20)
+    pairs = C.candidate_pairs(bands, CFG, "doc_id").collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_salted_handles_mixed_bucket_sizes(spark):
+    # small buckets (g=1) and large buckets (g>1) in one frame
+    bands = _bands(spark, n_docs=70)
+    salted = C.candidate_pairs_salted(bands, CFG, "doc_id", split_threshold=16)
+    direct = C.candidate_pairs(bands, CFG, "doc_id")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
