@@ -64,6 +64,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # --- validity filter (decode-filter analog, SURVEY §2.1 #4) ---
+    def _valid(spark, sf):
+        v = S.valid_documents(_docs(spark, sf), CFG)
+        return v.select(
+            ID,
+            F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+            "lang",
+        )
+
+    q["doc_filter_valid"] = _valid
+
     # --- stage 1: signatures / bands (SURVEY §2.1 #5) ---
     q["dedup_minhash_signatures"] = lambda spark, sf: _sig(spark, sf).select(
         ID, F.posexplode("sig").alias("perm_id", "feature")
@@ -82,6 +93,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- verification (FEATURE_CHECK analog) ---
     q["dedup_verified_pairs"] = _verified
+
+    # --- exact n-gram Jaccard per verified pair (integer permille) ---
+    q["dedup_ngram_jaccard"] = lambda spark, sf: _verified(spark, sf).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "un",
+        F.expr("CAST(floor(1000.0 * inter / un) AS BIGINT)").alias("jaccard_permille"),
+    )
 
     # --- best-base arg-max vote (#7) ---
     q["dedup_best_base"] = lambda spark, sf: C.best_base(_verified(spark, sf))
@@ -241,6 +261,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": sq(
             "SELECT id AS doc_id, CAST(t.pid AS INT) AS perm_id, sig[t.pid + 1] AS feature "
             f"FROM sig CROSS JOIN (SELECT range AS pid FROM range(0, {CFG.n_perm})) t"
+        ),
+        "doc_filter_valid": sq(
+            "SELECT v.id AS doc_id, CAST(len(v.tokens) AS BIGINT) AS n_tokens, d.lang "
+            f"FROM valid v JOIN documents d ON d.{ID} = v.id"
+        ),
+        "dedup_ngram_jaccard": sq(
+            "SELECT id_a, id_b, inter, un, "
+            "CAST(floor(1000.0 * inter / un) AS BIGINT) AS jaccard_permille FROM verified"
         ),
         "dedup_lsh_bands": sq("SELECT id AS doc_id, band_id, band_hash FROM bands"),
         "dedup_band_buckets": sq(
