@@ -246,6 +246,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = _sessions
 
+    # --- semi-structured: JSON prop extraction over events ---
+    def _json(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+
+    q["events_json_extract"] = _json
+
+    # --- temporal rollup: monthly revenue ---
+    def _monthly(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            orders.groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).alias("month")
+            )
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+            )
+        )
+
+    q["orders_monthly_revenue"] = _monthly
+
     return q
 
 
@@ -342,6 +367,14 @@ WITH marked AS (
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM marked GROUP BY 1""",
+        "events_json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events""",
+        "orders_monthly_revenue": """
+SELECT date_trunc('month', o_orderdate) AS month,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1""",
     }
     # dedup_spans / dedup_span_summary intentionally have no oracle: the
     # greedy LCS kernel is not SQL-expressible (driver records rows-only).

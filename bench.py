@@ -138,25 +138,42 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(input_path)
     n_docs = docs.count()
+    idc = "url" if "url" in docs.columns else ID
     # warm the JVM/IO once (fair comparison between the two cluster sizes)
     _force(S.valid_documents(docs, CFG).select("tokens"))
     t0 = time.time()
     sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
-    bands = S.explode_bands(sig, CFG, "url" if "url" in docs.columns else ID)
-    idc = "url" if "url" in docs.columns else ID
+    sig.count()
+    t_sig = time.time()
+    bands = S.explode_bands(sig, CFG, idc)
     ver = C.verify_pairs(C.candidate_pairs(bands, CFG, idc), sig, CFG, idc)
+    ver = ver.localCheckpoint(eager=True)
+    t_ver = time.time()
     cl = CL.clusters_from_pairs(sig, ver, idc)
     _force(cl)
-    wall = time.time() - t0
+    t_cc = time.time()
+    wall = t_cc - t0
     sig.unpersist()
     spark.stop()
-    return {"master": master, "n_docs": n_docs, "wall_sec": round(wall, 2),
-            "docs_per_sec": round(n_docs / wall, 1)}
+    return {
+        "master": master,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "stage_sec": {
+            "signatures": round(t_sig - t0, 2),
+            "pairs_verify": round(t_ver - t_sig, 2),
+            "cc_clusters": round(t_cc - t_ver, 2),
+        },
+    }
 
 
-def run_scaling(n_base: int = 20000) -> None:
-    """local[8] vs local[32] on the identical fixture corpus."""
-    corpus = f"/tmp/bench_corpus_{n_base}"
+def _corpus_path(n_base: int) -> str:
+    return f"/tmp/bench_corpus_{n_base}"
+
+
+def ensure_corpus(n_base: int) -> str:
+    corpus = _corpus_path(n_base)
     if not os.path.exists(corpus + "/_SUCCESS"):
         from imdedup_plus_spark import fixtures as FX
 
@@ -164,9 +181,36 @@ def run_scaling(n_base: int = 20000) -> None:
         spark.sparkContext.setLogLevel("ERROR")
         FX.generate_documents(spark, n_base=n_base).write.mode("overwrite").parquet(corpus)
         spark.stop()
+    return corpus
 
-    r8 = _pipeline_docs_per_sec("local[8]", corpus, 32)
-    r32 = _pipeline_docs_per_sec("local[32]", corpus, 64)
+
+def run_scaling_half(master: str, n_base: int, shuffle_parts: int) -> None:
+    """One cluster-size measurement; JSON written to BENCH/scaling_<master>.json
+    so the two halves can run in separate processes."""
+    corpus = ensure_corpus(n_base)
+    r = _pipeline_docs_per_sec(master, corpus, shuffle_parts)
+    os.makedirs("BENCH", exist_ok=True)
+    tag = master.replace("[", "_").replace("]", "")
+    with open(f"BENCH/scaling_{tag}.json", "w") as fh:
+        json.dump(r, fh)
+    print(json.dumps(r))
+
+
+def run_scaling(n_base: int = 20000) -> None:
+    """local[8] vs local[32] on the identical fixture corpus. Reuses
+    half-measurements from run_scaling_half if present."""
+    corpus = ensure_corpus(n_base)
+
+    def half(master, parts):
+        tag = master.replace("[", "_").replace("]", "")
+        p = f"BENCH/scaling_{tag}.json"
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return _pipeline_docs_per_sec(master, corpus, parts)
+
+    r8 = half("local[8]", 32)
+    r32 = half("local[32]", 64)
     eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
     result = {"N=local[8]": r8, "4N=local[32]": r32, "scaling_efficiency": eff}
     print(json.dumps(result, indent=2))
@@ -186,7 +230,13 @@ def run_scaling(n_base: int = 20000) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        run_scaling()
+    n_base = int(os.environ.get("SCALING_NBASE", "20000"))
+    if "--scaling-half" in sys.argv:
+        i = sys.argv.index("--scaling-half")
+        master = sys.argv[i + 1]
+        parts = 32 if master == "local[8]" else 64
+        run_scaling_half(master, n_base, parts)
+    elif "--scaling" in sys.argv:
+        run_scaling(n_base)
     else:
         run_default()
