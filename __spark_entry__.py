@@ -80,12 +80,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ID, F.posexplode("sig").alias("perm_id", "feature")
     ).select(ID, F.col("perm_id").cast("int"), "feature")
 
-    q["dedup_lsh_bands"] = lambda spark, sf: S.explode_bands(_sig(spark, sf), CFG, ID)
+    q["dedup_lsh_bands"] = lambda spark, sf: S.explode_bands(
+        _sig(spark, sf), CFG, ID
+    ).select(ID, "band_id", "band_hash")
 
     # --- candidate lookup / buckets (#6) ---
     q["dedup_band_buckets"] = lambda spark, sf: C.band_buckets(
         S.explode_bands(_sig(spark, sf), CFG, ID), CFG, ID
     ).where(F.col("bucket_size") >= 2)
+
+    # hot-bucket observability (the feature-collision counter analog,
+    # main.c:483-487): buckets the cap would drop at web scale
+    q["dedup_hot_buckets"] = lambda spark, sf: C.hot_buckets(
+        S.explode_bands(_sig(spark, sf), CFG, ID), CFG, ID
+    )
 
     q["dedup_candidate_pairs"] = lambda spark, sf: C.candidate_pairs(
         S.explode_bands(_sig(spark, sf), CFG, ID), CFG, ID
@@ -298,6 +306,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_bands": sq("SELECT id AS doc_id, band_id, band_hash FROM bands"),
         "dedup_band_buckets": sq(
             "SELECT band_id, band_hash, bucket_size FROM bucket_sizes WHERE bucket_size >= 2"
+        ),
+        "dedup_hot_buckets": sq(
+            "SELECT band_id, band_hash, bucket_size FROM bucket_sizes "
+            f"WHERE bucket_size > {CFG.bucket_cap}"
         ),
         "dedup_candidate_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands FROM cand_pairs"

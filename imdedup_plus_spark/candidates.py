@@ -48,18 +48,34 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFram
     is arrival order, ``2df.c:462-498``; ours is id order — deterministic and
     order-free). Buckets of size 1 or larger than the cap are pruned before
     the join, so the quadratic step only ever sees bounded buckets.
+
+    When the bands carry ``n_set`` (shingle-set sizes) and the config is in
+    jaccard-verify mode, pairs whose size ratio already bounds the Jaccard
+    below the verify threshold are pruned AT EMISSION — before the
+    per-pair aggregation shuffle. This is the same provable bound
+    ``J <= min(|A|,|B|)/max(|A|,|B|)`` applied as early as possible; the
+    verified output is unchanged, only the candidate volume shrinks.
     """
+    has_set = "n_set" in bands.columns and cfg.verify_mode == "jaccard"
     w = Window.partitionBy("band_id", "band_hash")
     sized = bands.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
+    keep_cols = [id_col, "band_id", "band_hash"] + (["n_set"] if has_set else [])
     kept = sized.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
-    ).select(id_col, "band_id", "band_hash")
+    ).select(*keep_cols)
 
     a = kept.alias("a")
     b = kept.alias("b")
     pairs0 = a.join(b, ["band_id", "band_hash"], "inner").where(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    if has_set:
+        pairs0 = pairs0.where(
+            F.expr(
+                "least(a.n_set, b.n_set) * 100 >= "
+                f"greatest(a.n_set, b.n_set) * {cfg.verify_jaccard_pct}"
+            )
+        )
     return (
         pairs0.select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -91,6 +107,7 @@ def candidate_pairs_salted(
     Buckets above ``cfg.bucket_cap`` are still dropped (boilerplate bands —
     the quadratic pair *count* is inherent, no salt fixes that).
     """
+    has_set = "n_set" in bands.columns and cfg.verify_mode == "jaccard"
     w = Window.partitionBy("band_id", "band_hash")
     sized = bands.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
     kept = sized.where(
@@ -102,19 +119,28 @@ def candidate_pairs_salted(
     salted = kept.withColumn("g", g).withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("g")).cast("int")
     )
-    a = salted.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_hash",
+    a_cols = [
+        F.col(id_col).alias("id_a"), F.col("band_id"), F.col("band_hash"),
         F.col("salt").alias("ta"),
         F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("tb"),
-    )
-    b = salted.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_hash",
+    ] + ([F.col("n_set").alias("n_set_a")] if has_set else [])
+    b_cols = [
+        F.col(id_col).alias("id_b"), F.col("band_id"), F.col("band_hash"),
         F.col("salt").alias("tb"),
         F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("ta"),
-    )
+    ] + ([F.col("n_set").alias("n_set_b")] if has_set else [])
+    a = salted.select(*a_cols)
+    b = salted.select(*b_cols)
     pairs0 = a.join(b, ["band_id", "band_hash", "ta", "tb"], "inner").where(
         F.col("id_a") < F.col("id_b")
     )
+    if has_set:
+        pairs0 = pairs0.where(
+            F.expr(
+                "least(n_set_a, n_set_b) * 100 >= "
+                f"greatest(n_set_a, n_set_b) * {cfg.verify_jaccard_pct}"
+            )
+        )
     return (
         pairs0.select("id_a", "id_b")
         .groupBy("id_a", "id_b")

@@ -74,6 +74,12 @@ def pipeline_ctes(cfg: DedupConfig, id_col: str = "doc_id", table: str = "docume
         f"CAST(len(list_filter(generate_series(1, {cfg.n_perm}), "
         f"i -> sa.sig[i] = sb.sig[i])) AS BIGINT)"
     )
+    early_ratio = (
+        f"WHERE least(a.n_set, b.n_set) * 100 >= "
+        f"greatest(a.n_set, b.n_set) * {cfg.verify_jaccard_pct}"
+        if cfg.verify_mode == "jaccard"
+        else ""
+    )
     inter = "CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS BIGINT)"
     un = f"CAST(len(sa.shingle_set) + len(sb.shingle_set) AS BIGINT) - ({inter})"
     if cfg.verify_mode == "jaccard":
@@ -105,7 +111,8 @@ sig AS (
 ),
 bands AS (
   SELECT id, CAST(t.band_id AS INT) AS band_id,
-         {band_hash_sql('sig', 't.band_id', cfg.rows_per_band)} AS band_hash
+         {band_hash_sql('sig', 't.band_id', cfg.rows_per_band)} AS band_hash,
+         CAST(len(shingle_set) AS INT) AS n_set
   FROM sig CROSS JOIN (SELECT range AS band_id FROM range(0, {cfg.n_bands})) t
 ),
 bucket_sizes AS (
@@ -113,7 +120,7 @@ bucket_sizes AS (
   FROM bands GROUP BY 1, 2
 ),
 kept_bands AS (
-  SELECT b.id, b.band_id, b.band_hash
+  SELECT b.id, b.band_id, b.band_hash, b.n_set
   FROM bands b JOIN bucket_sizes s
     ON s.band_id = b.band_id AND s.band_hash = b.band_hash
   WHERE s.bucket_size >= 2 AND s.bucket_size <= {cfg.bucket_cap}
@@ -123,6 +130,7 @@ cand_pairs AS (
   FROM kept_bands a
   JOIN kept_bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+  {early_ratio}
   GROUP BY 1, 2
   HAVING count(*) >= {cfg.band_match_threshold}
 ),

@@ -142,12 +142,21 @@ def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame
     501-516``): the shuffle materializes the same value->members mapping.
     """
     band = F.explode(F.sequence(F.lit(0), F.lit(cfg.n_bands - 1))).alias("band_id")
-    out = sig_df.select(F.col(id_col), F.col("sig"), band)
-    return out.select(
+    cols = [F.col(id_col), F.col("sig"), band]
+    has_set = "shingle_set" in sig_df.columns
+    if has_set:
+        # carry the shingle-set size: candidate_pairs uses it for the early
+        # size-ratio prune (J <= min/max of set sizes)
+        cols.append(F.size("shingle_set").cast("int").alias("n_set"))
+    out = sig_df.select(*cols)
+    proj = [
         F.col(id_col),
         F.col("band_id"),
         F.expr(band_hash_expr("sig", "band_id", cfg.rows_per_band)).alias("band_hash"),
-    )
+    ]
+    if has_set:
+        proj.append(F.col("n_set"))
+    return out.select(*proj)
 
 
 # ---------------------------------------------------------------------------
