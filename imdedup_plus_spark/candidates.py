@@ -44,6 +44,18 @@ def hot_buckets(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
     """Within-bucket self-pairing -> (id_a, id_b, n_matching_bands).
 
+    Delegates to the salted grid-blocked implementation (identical output,
+    no stragglers); ``candidate_pairs_direct`` keeps the plain self-join
+    for tests and reference.
+    """
+    return candidate_pairs_salted(
+        bands, cfg, id_col, split_threshold=cfg.pair_split_threshold
+    )
+
+
+def candidate_pairs_direct(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame:
+    """Plain within-bucket self-join (one task per bucket key).
+
     ``id_a < id_b`` canonical orientation (the reference's base/target order
     is arrival order, ``2df.c:462-498``; ours is id order — deterministic and
     order-free). Buckets of size 1 or larger than the cap are pruned before

