@@ -234,7 +234,9 @@ if __name__ == "__main__":
     if "--scaling-half" in sys.argv:
         i = sys.argv.index("--scaling-half")
         master = sys.argv[i + 1]
-        parts = 32 if master == "local[8]" else 64
+        # partitions sized by data (verify shuffle volume), not by cores —
+        # the same number at both cluster sizes, as a real deployment would
+        parts = int(os.environ.get("SCALING_PARTITIONS", "256"))
         run_scaling_half(master, n_base, parts)
     elif "--scaling" in sys.argv:
         run_scaling(n_base)

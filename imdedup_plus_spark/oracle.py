@@ -106,7 +106,8 @@ sh AS (
 ),
 sig AS (
   SELECT id, {signature_sql('shingles', cfg)} AS sig,
-         list_sort(list_distinct(shingles)) AS shingle_set
+         list_transform(list_sort(list_distinct(shingles)),
+                        x -> CAST(x AS INTEGER)) AS shingle_set
   FROM sh WHERE len(shingles) > 0
 ),
 bands AS (

@@ -129,7 +129,12 @@ def with_signature(
         df.withColumn("word_hashes", F.expr(word_hashes_expr("tokens")))
         .withColumn("shingles", F.expr(shingles_expr("word_hashes", cfg.shingle_window)))
         .withColumn("sig", F.expr(signature_expr("shingles", cfg)))
-        .withColumn("shingle_set", F.array_sort(F.array_distinct("shingles")))
+        # shingles < 2**31 by construction -> int32 set halves the bytes the
+        # verification joins must shuffle
+        .withColumn(
+            "shingle_set",
+            F.expr("transform(array_sort(array_distinct(shingles)), x -> CAST(x AS INT))"),
+        )
         .drop("word_hashes", "shingles")
     )
 
@@ -230,14 +235,14 @@ def signature_kernel_arrow(
                 vals = (sh[None, :] * ks_a[:, None] + bs_a[:, None]) % P
                 sigs.append(vals.max(axis=1).astype(np.int64).tolist())
                 # np.unique == sorted distinct == array_sort(array_distinct)
-                sets.append(np.unique(sh).astype(np.int64).tolist())
+                sets.append(np.unique(sh).astype(np.int32).tolist())
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "sig": sigs, "shingle_set": sets})
 
     id_field = df.schema[id_col]
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
-        "sig array<bigint>, shingle_set array<bigint>"
+        "sig array<bigint>, shingle_set array<int>"
     )
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
 
