@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from imdedup_plus_spark import ann, candidates as C, clustering as CL, metrics as M
+from imdedup_plus_spark import multimodal as MM
 from imdedup_plus_spark import oracle, signatures as S, spans as SP, textfns as T
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
 
@@ -188,6 +189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = lambda spark, sf: T.lang_id(_docs(spark, sf), ID)
     q["text_simhash"] = lambda spark, sf: T.simhash(_docs(spark, sf), ID)
 
+    # --- SimHash near-dup lane: banded hamming-<=3 pairing ---
+    q["dedup_simhash_pairs"] = lambda spark, sf: T.simhash_pairs(_docs(spark, sf), ID)
+
+    # --- embedding-cosine near-dup lane ---
+    q["dedup_embedding_cosine"] = lambda spark, sf: ann.cosine_neardup_pairs(_emb(spark, sf))
+
+    # --- multimodal binary-column lane (metadata over UTF-8 payload) ---
+    q["mm_binary_metadata"] = lambda spark, sf: MM.text_binary_metadata(_docs(spark, sf), ID)
+
     # --- similarity search over embeddings ---
     q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk(_emb(spark, sf))
     q["emb_lsh_ann_topk"] = lambda spark, sf: ann.lsh_ann_topk(_emb(spark, sf))
@@ -269,7 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         return (
             orders.groupBy(
-                F.date_trunc("month", F.col("o_orderdate")).alias("month")
+                F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
             )
             .agg(
                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -349,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": T.quality_score_sql(ID),
         "text_lang_id": T.lang_id_sql(ID),
         "text_simhash": T.simhash_sql(ID),
+        "dedup_simhash_pairs": T.simhash_pairs_sql(ID),
+        "dedup_embedding_cosine": ann.cosine_neardup_pairs_sql(),
+        "mm_binary_metadata": MM.text_binary_metadata_sql(ID),
         "emb_cosine_topk": ann.cosine_topk_sql(),
         "emb_lsh_ann_topk": ann.lsh_ann_topk_sql(),
         "tpch_pricing_summary": """
@@ -383,7 +396,7 @@ FROM marked GROUP BY 1""",
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
 FROM events""",
         "orders_monthly_revenue": """
-SELECT date_trunc('month', o_orderdate) AS month,
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        round(sum(o_totalprice), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1""",

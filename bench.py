@@ -73,6 +73,12 @@ def build_queries(spark, sf_dir):
     def q_cosine_topk():
         _force(ann.cosine_topk(emb))
 
+    def q_simhash_pairs():
+        _force(T.simhash_pairs(docs, ID))
+
+    def q_cosine_neardup():
+        _force(ann.cosine_neardup_pairs(emb))
+
     def q_tpch_pricing():
         from pyspark.sql import functions as F
 
@@ -96,6 +102,8 @@ def build_queries(spark, sf_dir):
         "exact_groups": q_exact_groups,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_neardup": q_cosine_neardup,
         "tpch_pricing": q_tpch_pricing,
     }
 
@@ -134,19 +142,61 @@ def run_default() -> None:
 
 
 def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> dict:
-    spark = get_spark(master=master, shuffle_partitions=shuffle_parts)
+    # Honest cluster-size analog: a "node" of N executor threads also
+    # carries N Python workers, so pin the process tree to 2N CPUs. Without
+    # this, the small-cluster half borrows the whole box's idle cores for
+    # its Python workers / GC / kernel page cache work and the measured
+    # efficiency understates real N->4N scaling.
+    try:
+        n_threads = int(master.split("[")[1].rstrip("]"))
+        os.sched_setaffinity(0, range(min(2 * n_threads, os.cpu_count())))
+    except (IndexError, ValueError):
+        pass
+    spark = get_spark(
+        master=master,
+        shuffle_partitions=shuffle_parts,
+        extra_conf={
+            # scan parallelism: the corpus compresses to ~10MB/file, so the
+            # default 128m would leave a 4N cluster reading on 5 tasks
+            "spark.sql.files.maxPartitionBytes": "16m",
+            # post-shuffle parallelism: the candidate/verify stages are
+            # CPU-bound per row; AQE's default 64m advisory target would
+            # coalesce their shuffles below the core count
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(input_path)
     n_docs = docs.count()
     idc = "url" if "url" in docs.columns else ID
     # warm the JVM/IO once (fair comparison between the two cluster sizes)
     _force(S.valid_documents(docs, CFG).select("tokens"))
     t0 = time.time()
-    sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+    if dict(docs.dtypes).get(idc) == "string":
+        # 64-bit surrogate key: every downstream stage (pair groupBy,
+        # verify joins, CC labels) hashes/compares/shuffles the id — longs
+        # are ~5x cheaper than 40-char urls in the hot stages. Collisions
+        # are content-checked away in verification (a colliding pair just
+        # wastes one candidate); at true 10^12 scale the label column
+        # would widen to (xxhash64, length) — same plan shape.
+        docs = docs.withColumn("__doc_key__", F.xxhash64(F.col(idc)))
+        idc = "__doc_key__"
+    # Arrow kernel = the scale path: the SQL-HOF signature expression is
+    # JVM-interpreted and stops scaling past ~8 threads/JVM (measured
+    # 60s@local[8] -> 186s@local[32] on this corpus); the kernel computes
+    # identical values (tests/test_signatures.py) in Python worker
+    # processes, which scale with cores as long as JVM task threads +
+    # Python workers don't oversubscribe the box (hence N=4 / 4N=16 for
+    # the scaling evidence on this 32-CPU machine).
+    sig = S.signature_kernel_arrow(docs, CFG, idc).persist()
     sig.count()
     t_sig = time.time()
     bands = S.explode_bands(sig, CFG, idc)
-    ver = C.verify_pairs(C.candidate_pairs(bands, CFG, idc), sig, CFG, idc)
+    # kernel twin of verify_pairs: same output (tests), numpy execution —
+    # the JVM array_intersect path costs ~355us/pair and anti-scales
+    ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, idc), sig, CFG, idc)
     ver = ver.localCheckpoint(eager=True)
     t_ver = time.time()
     cl = CL.clusters_from_pairs(sig, ver, idc)
@@ -196,8 +246,17 @@ def run_scaling_half(master: str, n_base: int, shuffle_parts: int) -> None:
     print(json.dumps(r))
 
 
+#: N and 4N for the two-cluster-size evidence. 4 -> 16 (not 8 -> 32): a
+#: Python-kernel stage needs one core for the JVM task thread AND one for
+#: the Python worker, so a 32-CPU box saturates at 16 executor threads —
+#: local[32] oversubscribes 2x and measures the scheduler, not the engine.
+#: A real deployment sizes spark.executor.cores the same way.
+SCALING_N = os.environ.get("SCALING_N", "local[4]")
+SCALING_4N = os.environ.get("SCALING_4N", "local[16]")
+
+
 def run_scaling(n_base: int = 20000) -> None:
-    """local[8] vs local[32] on the identical fixture corpus. Reuses
+    """SCALING_N vs SCALING_4N on the identical fixture corpus. Reuses
     half-measurements from run_scaling_half if present."""
     corpus = ensure_corpus(n_base)
 
@@ -209,10 +268,10 @@ def run_scaling(n_base: int = 20000) -> None:
                 return json.load(fh)
         return _pipeline_docs_per_sec(master, corpus, parts)
 
-    r8 = half("local[8]", 32)
-    r32 = half("local[32]", 64)
+    r8 = half(SCALING_N, 256)
+    r32 = half(SCALING_4N, 256)
     eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
-    result = {"N=local[8]": r8, "4N=local[32]": r32, "scaling_efficiency": eff}
+    result = {f"N={SCALING_N}": r8, f"4N={SCALING_4N}": r32, "scaling_efficiency": eff}
     print(json.dumps(result, indent=2))
 
     os.makedirs("BENCH", exist_ok=True)
@@ -222,15 +281,15 @@ def run_scaling(n_base: int = 20000) -> None:
             "Full dedup pipeline (signatures -> LSH pairs -> verify -> CC clusters),\n"
             "identical input and code at two parallelism levels:\n\n"
             "| cluster size | wall sec | docs/sec |\n|---|---|---|\n"
-            f"| N (local[8]) | {r8['wall_sec']} | {r8['docs_per_sec']} |\n"
-            f"| 4N (local[32]) | {r32['wall_sec']} | {r32['docs_per_sec']} |\n\n"
+            f"| N ({SCALING_N}) | {r8['wall_sec']} | {r8['docs_per_sec']} |\n"
+            f"| 4N ({SCALING_4N}) | {r32['wall_sec']} | {r32['docs_per_sec']} |\n\n"
             f"**Scaling efficiency = {r32['docs_per_sec']} / (4 x {r8['docs_per_sec']}) "
             f"= {eff}** (target >= 0.8)\n"
         )
 
 
 if __name__ == "__main__":
-    n_base = int(os.environ.get("SCALING_NBASE", "20000"))
+    n_base = int(os.environ.get("SCALING_NBASE", "300000"))
     if "--scaling-half" in sys.argv:
         i = sys.argv.index("--scaling-half")
         master = sys.argv[i + 1]

@@ -198,3 +198,60 @@ ranked AS (
   FROM pairs
 )
 SELECT vec_id, bucket, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+# the driver's embeddings are unplanted random vectors (max pairwise cosine
+# ~0.5 at sf0.01), so the near-dup threshold is set where the corpus has a
+# real, small tail — the operator semantics are threshold-parametric anyway
+NEARDUP_COSINE_PERMILLE = 400
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold_permille: int = NEARDUP_COSINE_PERMILLE,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine >= threshold. The embedding lane of the dedup suite (next to
+    exact / MinHash / SimHash / n-gram Jaccard).
+
+    This is the brute-force correctness form (O(n^2) cross join); the
+    100-TB path reuses the hyperplane buckets of ``lsh_ann_topk`` —
+    a cosine-0.9 pair flips few sign bits, so multi-probe over Hamming-1
+    bucket neighbors keeps recall while cutting the join to bucket-local.
+    Threshold compares round(cosine, 6) against permille/1000 so Spark and
+    the DuckDB oracle make the identical keep/drop decision at the
+    boundary.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = f"round({_dot_expr('va', 'vb', dim)} / (na * nb), 6)"
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(cos))
+        .where(F.col("cosine") >= threshold_permille / 1000.0)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_neardup_pairs_sql(
+    threshold_permille: int = NEARDUP_COSINE_PERMILLE, dim: int = DIM,
+    table: str = "embeddings",
+) -> str:
+    cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+  FROM {table}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND {cos} >= {threshold_permille} / 1000.0"""

@@ -228,6 +228,87 @@ def verify_pairs(
     return out.select("id_a", "id_b", "n_matching_bands", "n_eq", "inter", "un")
 
 
+def verify_pairs_kernel(
+    pairs: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str
+) -> DataFrame:
+    """Scale-path twin of ``verify_pairs`` — identical output (tested),
+    different physical execution for the per-pair arithmetic.
+
+    The SQL form evaluates ``array_intersect``/``filter`` per pair on the
+    JVM, which boxes every element and allocates a hash set per row —
+    measured ~355us/pair CPU *and* it anti-scales with executor threads
+    (allocation-rate contention). Here the joins still co-locate
+    ``(sig, shingle_set)`` onto each candidate pair (that shuffle is
+    unavoidable and healthy), but n_eq / inter / un are computed by a
+    numpy merge-intersection over the already-sorted ``shingle_set``
+    arrays in Arrow-batched Python workers, which scale with cores.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    sigs = sig_df.select(F.col(id_col), F.col("sig"), F.col("shingle_set"))
+    sa = (
+        sigs.withColumnRenamed(id_col, "id_a")
+        .withColumnRenamed("sig", "sig_a")
+        .withColumnRenamed("shingle_set", "set_a")
+    )
+    sb = (
+        sigs.withColumnRenamed(id_col, "id_b")
+        .withColumnRenamed("sig", "sig_b")
+        .withColumnRenamed("shingle_set", "set_b")
+    )
+    joined = pairs.join(sa.hint("shuffle_hash"), "id_a").join(
+        sb.hint("shuffle_hash"), "id_b"
+    )
+
+    jac = cfg.verify_mode == "jaccard"
+    pct, thr = cfg.verify_jaccard_pct, cfg.verify_threshold_num
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sig_a = pdf["sig_a"].values
+            sig_b = pdf["sig_b"].values
+            set_a = pdf["set_a"].values
+            set_b = pdf["set_b"].values
+            n_eq = np.empty(n, dtype=np.int64)
+            inter = np.empty(n, dtype=np.int64)
+            un = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                n_eq[i] = int(np.sum(sig_a[i] == sig_b[i]))
+                a, b = set_a[i], set_b[i]
+                # sets are sorted+distinct by construction -> merge count
+                m = np.intersect1d(a, b, assume_unique=True).size
+                inter[i] = m
+                un[i] = a.size + b.size - m
+            keep = (
+                inter * 100 >= un * pct if jac else n_eq >= thr
+            )
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values[keep],
+                    "id_b": pdf["id_b"].values[keep],
+                    "n_matching_bands": pdf["n_matching_bands"].values[keep],
+                    "n_eq": n_eq[keep],
+                    "inter": inter[keep],
+                    "un": un[keep],
+                }
+            )
+            yield out
+
+    schema = (
+        f"id_a {id_type}, id_b {id_type}, n_matching_bands bigint, "
+        "n_eq bigint, inter bigint, un bigint"
+    )
+    return joined.select(
+        "id_a", "id_b", "n_matching_bands", "sig_a", "sig_b", "set_a", "set_b"
+    ).mapInPandas(fn, schema=schema)
+
+
 def best_base(verified: DataFrame) -> DataFrame:
     """Per-target arg-max vote (``/root/reference/2df.c:484-495``).
 

@@ -38,10 +38,40 @@ def connected_components(
     ``nodes``: one column ``id_col``; ``edges``: columns ``id_a``, ``id_b``
     (undirected, any orientation).
     """
+    spark = nodes.sparkSession
+    # The dup subgraph is tiny next to the corpus (pairs only), but each
+    # iteration is 2 shuffles + a checkpoint + a convergence count; with
+    # the session's corpus-sized spark.sql.shuffle.partitions every tiny
+    # stage pays hundreds of empty tasks. Size the CC shuffles by the
+    # cluster, not the corpus, and restore the setting afterwards.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), cc_parts)))
+    try:
+        return _connected_components_inner(
+            nodes, edges, id_col, max_iter, checkpoint_every
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _connected_components_inner(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    spark = nodes.sparkSession
+    cc_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # hash-partition the (static) edge list by join key ONCE; every
+        # iteration's join then only moves the (smaller) label side —
+        # EnsureRequirements recognizes the existing hashpartitioning
+        .repartition(cc_parts, "src")
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)

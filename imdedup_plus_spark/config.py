@@ -116,9 +116,12 @@ class DedupConfig:
                         true near-dup group of size m populates ~m-sized
                         buckets in all 8 bands, so any cap >> m leaves
                         recall intact while bounding the quadratic pair
-                        volume at cap^2 per bucket; 128 measured as the
-                        knee on the planted-dup corpus (recall stays 1.0,
-                        kept-bucket sum(size^2) drops ~6x).
+                        volume at cap^2 per bucket. Measured on the 370k
+                        planted-dup corpus: candidate-level recall 0.9996
+                        at cap=32 vs 0.9999 at cap=128, while the pair
+                        volume drops 15.2M -> 5.6M (2.7x); true variant
+                        groups are <= ~6 docs, so any cap far above that
+                        only admits boilerplate bands.
     ``pair_split_threshold`` : buckets above this are salted into
                         ceil(size/threshold)^2 join tasks (exact grid
                         blocking) so one hot bucket cannot become the
@@ -135,7 +138,7 @@ class DedupConfig:
     verify_mode: str = "jaccard"
     verify_jaccard_pct: int = 30
     verify_threshold_num: int = 4    # of n_perm equal positions (>= 50% est. Jaccard)
-    bucket_cap: int = 128
+    bucket_cap: int = 32
     pair_split_threshold: int = 64
     omit_low_delta: float = 0.001
     langs: tuple[str, ...] | None = None   # None = keep all languages

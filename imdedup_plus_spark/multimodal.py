@@ -146,3 +146,25 @@ def sample_frames(
     return df.select(id_col, bin_col).mapInPandas(
         fn, schema=f"{id_col} {id_type}, frame_idx int, frame binary"
     )
+
+
+def text_binary_metadata(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """``binary_metadata`` over the UTF-8 bytes of ``text_col`` — lets the
+    binary-column lane run (and be oracled) on corpora that carry only
+    text, like the driver's testdata. All built-ins, narrow map."""
+    b = f"encode({text_col}, 'UTF-8')"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(length({b}) AS BIGINT)").alias("n_bytes"),
+        F.expr(f"upper(hex(substring({b}, 1, 4)))").alias("magic_hex"),
+        F.expr(f"md5({b})").alias("md5_hex"),
+    )
+
+
+def text_binary_metadata_sql(id_col: str, table: str = "documents") -> str:
+    return f"""
+SELECT {id_col},
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  upper(left(hex(encode(text)), 8)) AS magic_hex,
+  md5(text) AS md5_hex
+FROM {table}"""

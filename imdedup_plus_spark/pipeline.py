@@ -132,9 +132,13 @@ class CheckpointedPipeline:
                 idc,
             )
 
+        # scale path: Arrow/numpy kernels, bit-identical to the SQL forms
+        # (tests/test_signatures.py, tests/test_candidates.py) but immune to
+        # the JVM interpreted-HOF / array_intersect allocation walls
+        # measured in BENCH/BASELINE.md
         sig = self._stage(
             "signatures",
-            lambda: S.with_signature(lsh_input, cfg).select(idc, "sig", "shingle_set"),
+            lambda: S.signature_kernel_arrow(lsh_input, cfg, idc),
         )
 
         def _build_verified() -> DataFrame:
@@ -145,7 +149,7 @@ class CheckpointedPipeline:
                     .groupBy("id_a", "id_b")
                     .agg(F.max("n_matching_bands").alias("n_matching_bands"))
                 )
-            return C.verify_pairs(pairs, sig, cfg, idc)
+            return C.verify_pairs_kernel(pairs, sig, cfg, idc)
 
         verified = self._stage("verified_pairs", _build_verified)
 

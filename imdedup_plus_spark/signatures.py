@@ -195,62 +195,81 @@ def _sig_of_text_py(text: str, cfg: DedupConfig) -> list[int] | None:
     return sig
 
 
+#: token -> word-hash memo. Web vocabulary is Zipfian, so after warmup
+#: nearly every token is one dict hit; the fallback char loop runs only on
+#: first sight of a token. Per Python worker process (no sharing needed —
+#: the hash is deterministic).
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 22  # ~4M entries; Zipf head re-warms instantly
+
+
+def _word_hash_py(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = 0
+        for ch in tok:
+            h = (h * WORD_MULT + ord(ch)) % HASH_MOD
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def signature_kernel_arrow(
     df: DataFrame, cfg: DedupConfig, id_col: str, text_col: str = "text"
 ) -> DataFrame:
-    """mapInPandas signature kernel: ``(id, sig)`` rows, numpy-vectorized.
+    """mapInPandas signature kernel: ``(id, sig, shingle_set)`` rows.
 
-    Arrow-batched (no per-row Python at the executor boundary); the inner
-    token loop is numpy modular arithmetic on uint64. Rows failing the
-    validity filter are dropped (same contract as ``valid_documents`` +
-    ``with_signature``).
+    This is the SCALE path for the signature stage (the SQL-expression path
+    in ``with_signature`` computes identical values but evaluates nested
+    higher-order functions interpreted on the JVM, which stops scaling past
+    ~8 threads per JVM — measured 60s@local[8] vs 186s@local[32] on the
+    370k-doc bench corpus). Arrow-batched pandas input, memoized token
+    hashing, numpy modular arithmetic for shingles + minhash; Python
+    workers are separate processes, so parallel efficiency survives any
+    executor thread count. Rows failing the validity filter are dropped
+    (same contract as ``valid_documents`` + ``with_signature``).
     """
     import numpy as np
 
     ks, bs = cfg.perms
-    ks_a = np.array(ks, dtype=np.uint64)
-    bs_a = np.array(bs, dtype=np.uint64)
-    win, n_perm = cfg.shingle_window, cfg.n_perm
+    ks_a = np.array(ks, dtype=np.uint64)[:, None]
+    bs_a = np.array(bs, dtype=np.uint64)[:, None]
+    win = cfg.shingle_window
     min_toks = max(cfg.min_tokens, cfg.shingle_window)
     P = np.uint64(PERM_P)
     M = np.uint64(HASH_MOD)
-    WM = np.uint64(WORD_MULT)
     SM = np.uint64(SHINGLE_MULT)
+    langs = None if cfg.langs is None else set(cfg.langs)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wh_of = _word_hash_py
         for pdf in batches:
             ids, sigs, sets = [], [], []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = [t for t in str(text).lower().split() if t]
+            lang_vals = pdf["lang"].values if langs is not None else None
+            for i, (doc_id, text) in enumerate(
+                zip(pdf[id_col].values, pdf[text_col].values)
+            ):
+                if langs is not None and lang_vals[i] not in langs:
+                    continue
+                toks = str(text).lower().split()
                 if len(toks) < min_toks:
                     continue
-                wh = np.fromiter(
-                    (_word_hash_np(t, WM, M) for t in toks),
-                    dtype=np.uint64,
-                    count=len(toks),
-                )
+                wh = np.array([wh_of(t) for t in toks], dtype=np.uint64)
                 sh = wh[: len(wh) - win + 1].copy()
                 for j in range(1, win):
                     sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
-                vals = (sh[None, :] * ks_a[:, None] + bs_a[:, None]) % P
-                sigs.append(vals.max(axis=1).astype(np.int64).tolist())
+                vals = (sh[None, :] * ks_a + bs_a) % P
+                sigs.append(vals.max(axis=1).astype(np.int64))
                 # np.unique == sorted distinct == array_sort(array_distinct)
-                sets.append(np.unique(sh).astype(np.int32).tolist())
+                sets.append(np.unique(sh).astype(np.int32))
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "sig": sigs, "shingle_set": sets})
 
     id_field = df.schema[id_col]
+    cols = [id_col, text_col] + (["lang"] if langs is not None else [])
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
         "sig array<bigint>, shingle_set array<int>"
     )
-    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
-
-
-def _word_hash_np(tok: str, wm, m) -> int:
-    import numpy as np
-
-    h = np.uint64(0)
-    for c in tok:
-        h = (h * wm + np.uint64(ord(c))) % m
-    return int(h)
+    return df.select(*cols).mapInPandas(fn, schema=schema)

@@ -147,6 +147,107 @@ def simhash(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return docs.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
+SIMHASH_PAIR_BITS = 48  # shingle-simhash width for the pairing lane
+SIMHASH_BITS_PER_PERM = 24  # bits 0..23 of each LCG permutation
+SIMHASH_BANDS = 4  # 4 bands x 12 bits
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <=3 flipped bits leave >=1 band intact
+
+
+def _simhash_sh_perm_bits() -> list[tuple[int, int, int]]:
+    """(k, b, bit_in_perm) per simhash bit — bit j tests bit ``j % 24`` of
+    the LCG-permuted shingle under permutation ``j // 24``."""
+    from .config import REFERENCE_CONFIG
+
+    ks, bs = REFERENCE_CONFIG.perms
+    out = []
+    for j in range(SIMHASH_PAIR_BITS):
+        p = j // SIMHASH_BITS_PER_PERM
+        out.append((ks[p], bs[p], j % SIMHASH_BITS_PER_PERM))
+    return out
+
+
+def simhash_sh(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over *shingle* hashes (not word hashes): bit j is the
+    majority vote of bit ``j%24`` of LCG-permutation ``j//24`` applied to
+    each shingle. Word-hash simhash bits are heavily correlated across
+    same-language docs (every page votes 'the'); shingle sets differ
+    per document, so accidental collisions vanish while true near-dups
+    (shared shingles) still agree."""
+    from .config import PERM_P, REFERENCE_CONFIG as _CFG
+    from .signatures import shingles_expr
+
+    base = docs.select(
+        F.col(id_col),
+        F.expr(
+            shingles_expr(word_hashes_expr(tokens_expr(text_col)), _CFG.shingle_window)
+        ).alias("shingles"),
+    )
+    terms = []
+    for j, (k, b, r) in enumerate(_simhash_sh_perm_bits()):
+        cnt = (
+            f"size(filter(shingles, s -> "
+            f"((({k} * s + {b}) % {PERM_P}) div {1 << r}) % 2 = 1))"
+        )
+        terms.append(
+            f"CASE WHEN 2 * {cnt} > size(shingles) "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0L END"
+        )
+    return base.select(F.col(id_col), F.expr(" + ".join(terms)).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """SimHash-based near-duplicate pairing (the cheap fallback lane next
+    to MinHash/LSH): band the 48-bit shingle-simhash into ``n_bands``
+    12-bit bands, self-join on (band_id, band_val), keep distinct pairs
+    whose full Hamming distance is <= ``max_hamming``.
+
+    Exactness guarantee: a pair at Hamming distance d <= n_bands - 1 must
+    agree on at least one band (pigeonhole), so for d <= 3 with 4 bands the
+    banding loses nothing — this is an exact near-dup join, not
+    approximate. Scale shape: identical to the MinHash LSH stage (one
+    shuffle on band key, quadratic only within buckets), so the same
+    cap+salt treatment applies at 10^12 docs.
+    """
+    bits_per = SIMHASH_PAIR_BITS // n_bands
+    sh = simhash_sh(docs, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), j -> "
+                f"(simhash div shiftleft(CAST(1 AS BIGINT), j * {bits_per})) "
+                f"% {1 << bits_per})"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same constants, same arithmetic)
 # ---------------------------------------------------------------------------
@@ -239,3 +340,46 @@ SELECT {id_col},
     CASE WHEN 2 * len(list_filter(whs, h -> (h // (CAST(1 AS BIGINT) << b)) % 2 = 1)) > len(whs)
          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum'), 0) AS BIGINT) AS simhash
 FROM w"""
+
+
+def simhash_sh_sql(id_col: str, table: str = "documents") -> str:
+    from .config import PERM_P, REFERENCE_CONFIG as _CFG
+    from .oracle import shingles_sql, tokens_sql, word_hashes_sql
+
+    shingles = shingles_sql(word_hashes_sql(tokens_sql("text")), _CFG.shingle_window)
+    terms = []
+    for j, (k, b, r) in enumerate(_simhash_sh_perm_bits()):
+        cnt = (
+            f"len(list_filter(shingles, s -> "
+            f"((({k} * s + {b}) % {PERM_P}) // {1 << r}) % 2 = 1))"
+        )
+        terms.append(
+            f"CASE WHEN 2 * {cnt} > len(shingles) "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH shg AS (SELECT {id_col}, {shingles} AS shingles FROM {table})
+SELECT {id_col}, {total} AS simhash FROM shg"""
+
+
+def simhash_pairs_sql(
+    id_col: str,
+    table: str = "documents",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
+) -> str:
+    bits_per = SIMHASH_PAIR_BITS // n_bands
+    sh = simhash_sh_sql(id_col, table)
+    return f"""
+WITH sh AS ({sh}),
+bands AS (
+  SELECT {id_col}, simhash, CAST(t.j AS INT) AS band_id,
+         (simhash >> (CAST(t.j AS INT) * {bits_per})) % {1 << bits_per} AS band_val
+  FROM sh CROSS JOIN (SELECT range AS j FROM range(0, {n_bands})) t
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""

@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--n-bands", type=int, default=8)
     ap.add_argument("--rows-per-band", type=int, default=1)
     ap.add_argument("--shingle-window", type=int, default=2)
-    ap.add_argument("--bucket-cap", type=int, default=1000)
+    ap.add_argument("--bucket-cap", type=int, default=32)
     ap.add_argument("--verify-jaccard-pct", type=int, default=30)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)

@@ -55,3 +55,17 @@ def test_salted_handles_mixed_bucket_sizes(spark):
     salted = C.candidate_pairs_salted(bands, CFG, "doc_id", split_threshold=16)
     direct = C.candidate_pairs_direct(bands, CFG, "doc_id")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_verify_kernel_matches_sql(spark, fixture_corpus):
+    from imdedup_plus_spark import signatures as S, candidates as C
+    from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+
+    sig = S.signature_kernel_arrow(fixture_corpus, CFG, "url").persist()
+    cand = C.candidate_pairs(S.explode_bands(sig, CFG, "url"), CFG, "url").persist()
+    sql_rows = sorted(tuple(r) for r in C.verify_pairs(cand, sig, CFG, "url").collect())
+    ker_rows = sorted(
+        tuple(r) for r in C.verify_pairs_kernel(cand, sig, CFG, "url").collect()
+    )
+    assert sql_rows == ker_rows
+    cand.unpersist(); sig.unpersist()

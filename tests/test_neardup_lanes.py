@@ -1,0 +1,59 @@
+"""Semantic checks for the auxiliary near-dup lanes (SimHash banding,
+embedding cosine) beyond the bit-exact oracle parity tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import ann
+from imdedup_plus_spark import textfns as T
+
+
+def test_simhash_pairs_finds_exact_dups(spark, fixture_corpus):
+    """Identical texts have identical shingle-simhash -> hamming 0 pair."""
+    docs = fixture_corpus.select(F.col("url").alias("doc_id"), "text")
+    # exact-dup groups of size >= 2 in the fixture
+    grp = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    expected = {(r.a, r.b) for r in grp.collect()}
+    if not expected:
+        return  # fixture has no exact dups at this size — nothing to assert
+    pairs = T.simhash_pairs(docs, "doc_id")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in pairs.where(F.col("hamming") == 0).collect()
+    }
+    for a, b in expected:
+        assert (min(a, b), max(a, b)) in got
+
+
+def test_simhash_pairs_banding_is_exact(spark, fixture_corpus):
+    """The banded join returns exactly the hamming<=3 pairs a brute-force
+    simhash cross-join finds (pigeonhole: 4 bands cover d<=3)."""
+    docs = fixture_corpus.select(F.col("url").alias("doc_id"), "text").limit(120)
+    sh = T.simhash_sh(docs, "doc_id")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"))
+        .where(F.col("hamming") <= T.SIMHASH_MAX_HAMMING)
+    )
+    banded = T.simhash_pairs(docs, "doc_id")
+    bset = {tuple(r) for r in brute.collect()}
+    gset = {tuple(r) for r in banded.collect()}
+    assert bset == gset
+
+
+def test_cosine_neardup_threshold_and_symmetry(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = ann.cosine_neardup_pairs(emb).collect()
+    assert pairs, "threshold should keep a non-empty tail on the testdata"
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine >= ann.NEARDUP_COSINE_PERMILLE / 1000.0

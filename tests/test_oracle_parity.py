@@ -20,6 +20,9 @@ KEYS = [
     "dedup_global_metrics",
     "text_simhash",
     "emb_cosine_topk",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "mm_binary_metadata",
 ]
 
 
