@@ -265,6 +265,7 @@ def verify_pairs_kernel(
     jac = cfg.verify_mode == "jaccard"
     pct, thr = cfg.verify_jaccard_pct, cfg.verify_threshold_num
     id_type = pairs.schema["id_a"].dataType.simpleString()
+    packed = dict(sig_df.dtypes).get("shingle_set") == "binary"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -280,7 +281,12 @@ def verify_pairs_kernel(
             un = np.empty(n, dtype=np.int64)
             for i in range(n):
                 n_eq[i] = int(np.sum(sig_a[i] == sig_b[i]))
-                a, b = set_a[i], set_b[i]
+                if packed:
+                    # packed little-endian int32 (one memcpy per cell)
+                    a = np.frombuffer(set_a[i], dtype="<i4")
+                    b = np.frombuffer(set_b[i], dtype="<i4")
+                else:
+                    a, b = set_a[i], set_b[i]
                 # sets are sorted+distinct by construction -> merge count
                 m = np.intersect1d(a, b, assume_unique=True).size
                 inter[i] = m

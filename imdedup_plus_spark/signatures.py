@@ -151,8 +151,13 @@ def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame
     has_set = "shingle_set" in sig_df.columns
     if has_set:
         # carry the shingle-set size: candidate_pairs uses it for the early
-        # size-ratio prune (J <= min/max of set sizes)
-        cols.append(F.size("shingle_set").cast("int").alias("n_set"))
+        # size-ratio prune (J <= min/max of set sizes); the set may be an
+        # ARRAY<INT> (SQL path) or packed int32 BINARY (kernel path)
+        if dict(sig_df.dtypes).get("shingle_set") == "binary":
+            n_set = F.expr("CAST(length(shingle_set) / 4 AS INT)")
+        else:
+            n_set = F.size("shingle_set").cast("int")
+        cols.append(n_set.alias("n_set"))
     out = sig_df.select(*cols)
     proj = [
         F.col(id_col),
@@ -261,8 +266,11 @@ def signature_kernel_arrow(
                     sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
                 vals = (sh[None, :] * ks_a + bs_a) % P
                 sigs.append(vals.max(axis=1).astype(np.int64))
-                # np.unique == sorted distinct == array_sort(array_distinct)
-                sets.append(np.unique(sh).astype(np.int32))
+                # np.unique == sorted distinct == array_sort(array_distinct);
+                # packed little-endian int32: a BINARY cell crosses the
+                # Arrow/shuffle boundary as one memcpy, where ARRAY<INT>
+                # pays per-element conversion in every hop
+                sets.append(np.unique(sh).astype("<i4").tobytes())
                 ids.append(doc_id)
             yield pd.DataFrame({id_col: ids, "sig": sigs, "shingle_set": sets})
 
@@ -270,6 +278,8 @@ def signature_kernel_arrow(
     cols = [id_col, text_col] + (["lang"] if langs is not None else [])
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
-        "sig array<bigint>, shingle_set array<int>"
+        "sig array<bigint>, shingle_set binary"
     )
     return df.select(*cols).mapInPandas(fn, schema=schema)
+
+

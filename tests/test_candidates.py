@@ -58,14 +58,21 @@ def test_salted_handles_mixed_bucket_sizes(spark):
 
 
 def test_verify_kernel_matches_sql(spark, fixture_corpus):
+    """SQL verify on ARRAY sets == numpy kernel verify on packed BINARY
+    sets — same candidates, bit-identical verified output."""
     from imdedup_plus_spark import signatures as S, candidates as C
     from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
 
-    sig = S.signature_kernel_arrow(fixture_corpus, CFG, "url").persist()
-    cand = C.candidate_pairs(S.explode_bands(sig, CFG, "url"), CFG, "url").persist()
-    sql_rows = sorted(tuple(r) for r in C.verify_pairs(cand, sig, CFG, "url").collect())
+    sig_sql = S.with_signature(S.valid_documents(fixture_corpus, CFG), CFG).select(
+        "url", "sig", "shingle_set"
+    ).persist()
+    sig_bin = S.signature_kernel_arrow(fixture_corpus, CFG, "url").persist()
+    cand = C.candidate_pairs(S.explode_bands(sig_bin, CFG, "url"), CFG, "url").persist()
+    sql_rows = sorted(
+        tuple(r) for r in C.verify_pairs(cand, sig_sql, CFG, "url").collect()
+    )
     ker_rows = sorted(
-        tuple(r) for r in C.verify_pairs_kernel(cand, sig, CFG, "url").collect()
+        tuple(r) for r in C.verify_pairs_kernel(cand, sig_bin, CFG, "url").collect()
     )
     assert sql_rows == ker_rows
-    cand.unpersist(); sig.unpersist()
+    cand.unpersist(); sig_sql.unpersist(); sig_bin.unpersist()

@@ -30,8 +30,14 @@ def test_arrow_kernel_matches_hof(spark, sf001_docs):
         "doc_id", "sig", "shingle_set"
     )
     arrow = S.signature_kernel_arrow(sf001_docs, CFG, "doc_id")
+    import numpy as np
+
     a = {r.doc_id: (list(r.sig), list(r.shingle_set)) for r in hof.collect()}
-    b = {r.doc_id: (list(r.sig), list(r.shingle_set)) for r in arrow.collect()}
+    # kernel emits the set as packed little-endian int32 binary
+    b = {
+        r.doc_id: (list(r.sig), np.frombuffer(r.shingle_set, dtype="<i4").tolist())
+        for r in arrow.collect()
+    }
     assert a == b
 
 
