@@ -5,9 +5,12 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 {"metric", "value", "unit", "queries", "sf", ...}.
 
 --scaling: the north-rule two-cluster-size evidence — run the identical
-full dedup pipeline on the identical input at local[8] and local[32],
-report docs/sec at both plus efficiency = T32 / (4 * T8); append the table
-to BENCH/BASELINE.md.
+full dedup pipeline (SCALE_CONFIG: Arrow signature kernel, salted LSH
+pairing, KMV bottom-128 verification, CC) on the identical input at
+$SCALING_N (default local[2], pinned to 4 CPUs) and $SCALING_4N (default
+local[8], pinned to 16 CPUs), report docs/sec at both plus efficiency =
+T(4N) / (4 * T(N)); append the table to BENCH/BASELINE.md. Each half can
+run in its own process via --scaling-half <master>.
 
 Materialization uses the noop sink (write.format('noop')) so Catalyst
 cannot prune the measured columns away, and each query starts from parquet
@@ -25,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from imdedup_plus_spark import ann, candidates as C, clustering as CL
 from imdedup_plus_spark import signatures as S, spans as SP, textfns as T
-from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG, SCALE_CONFIG
 from imdedup_plus_spark.session import get_spark
 
 ID = "doc_id"
@@ -172,7 +175,7 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
     n_docs = docs.count()
     idc = "url" if "url" in docs.columns else ID
     # warm the JVM/IO once (fair comparison between the two cluster sizes)
-    _force(S.valid_documents(docs, CFG).select("tokens"))
+    _force(S.valid_documents(docs, SCALE_CONFIG).select("tokens"))
     t0 = time.time()
     if dict(docs.dtypes).get(idc) == "string":
         # 64-bit surrogate key: every downstream stage (pair groupBy,
@@ -188,15 +191,15 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
     # 60s@local[8] -> 186s@local[32] on this corpus); the kernel computes
     # identical values (tests/test_signatures.py) in Python worker
     # processes, which scale with cores as long as JVM task threads +
-    # Python workers don't oversubscribe the box (hence N=4 / 4N=16 for
-    # the scaling evidence on this 32-CPU machine).
-    sig = S.signature_kernel_arrow(docs, CFG, idc).persist()
+    # Python workers don't oversubscribe the box (hence the affinity
+    # pinning above and N/4N sizes well below the 32-CPU host).
+    sig = S.signature_kernel_arrow(docs, SCALE_CONFIG, idc).persist()
     sig.count()
     t_sig = time.time()
-    bands = S.explode_bands(sig, CFG, idc)
+    bands = S.explode_bands(sig, SCALE_CONFIG, idc)
     # kernel twin of verify_pairs: same output (tests), numpy execution —
     # the JVM array_intersect path costs ~355us/pair and anti-scales
-    ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, idc), sig, CFG, idc)
+    ver = C.verify_pairs_kernel(C.candidate_pairs(bands, SCALE_CONFIG, idc), sig, SCALE_CONFIG, idc)
     ver = ver.localCheckpoint(eager=True)
     t_ver = time.time()
     cl = CL.clusters_from_pairs(sig, ver, idc)
@@ -251,8 +254,8 @@ def run_scaling_half(master: str, n_base: int, shuffle_parts: int) -> None:
 #: the Python worker, so a 32-CPU box saturates at 16 executor threads —
 #: local[32] oversubscribes 2x and measures the scheduler, not the engine.
 #: A real deployment sizes spark.executor.cores the same way.
-SCALING_N = os.environ.get("SCALING_N", "local[4]")
-SCALING_4N = os.environ.get("SCALING_4N", "local[16]")
+SCALING_N = os.environ.get("SCALING_N", "local[2]")
+SCALING_4N = os.environ.get("SCALING_4N", "local[8]")
 
 
 def run_scaling(n_base: int = 20000) -> None:

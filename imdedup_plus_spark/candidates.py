@@ -264,6 +264,7 @@ def verify_pairs_kernel(
 
     jac = cfg.verify_mode == "jaccard"
     pct, thr = cfg.verify_jaccard_pct, cfg.verify_threshold_num
+    sketch_k = cfg.verify_sketch_k
     id_type = pairs.schema["id_a"].dataType.simpleString()
     packed = dict(sig_df.dtypes).get("shingle_set") == "binary"
 
@@ -287,10 +288,19 @@ def verify_pairs_kernel(
                     b = np.frombuffer(set_b[i], dtype="<i4")
                 else:
                     a, b = set_a[i], set_b[i]
-                # sets are sorted+distinct by construction -> merge count
-                m = np.intersect1d(a, b, assume_unique=True).size
-                inter[i] = m
-                un[i] = a.size + b.size - m
+                ab = np.intersect1d(a, b, assume_unique=True)
+                if sketch_k:
+                    # KMV: bottom-k of the union (a, b are each bottom-k of
+                    # their sets, so the union's true bottom-k is contained
+                    # in merge(a, b)); estimate J on that window
+                    u = np.union1d(a, b)[:sketch_k]
+                    hi = u[-1] if u.size else 0
+                    inter[i] = int(np.searchsorted(ab, hi, side="right"))
+                    un[i] = u.size
+                else:
+                    # sets sorted+distinct by construction -> exact counts
+                    inter[i] = ab.size
+                    un[i] = a.size + b.size - ab.size
             keep = (
                 inter * 100 >= un * pct if jac else n_eq >= thr
             )

@@ -140,6 +140,16 @@ class DedupConfig:
     verify_threshold_num: int = 4    # of n_perm equal positions (>= 50% est. Jaccard)
     bucket_cap: int = 32
     pair_split_threshold: int = 64
+    #: bottom-k (KMV) sketch width for Jaccard verification. 0 = exact
+    #: full-set Jaccard (the oracle-checked default). k>0 stores only the k
+    #: smallest shingle hashes per doc and verifies with the standard KMV
+    #: estimator |bottom_k(A∪B) ∩ A_k ∩ B_k| / |bottom_k(A∪B)| (Broder '97
+    #: style) — at k=128 and threshold 0.30 the estimator sigma is ~0.04,
+    #: so true near-dups (J>=0.5) are kept with probability ~1-3e-6 while
+    #: the verify shuffle shrinks ~|set|/k (~2.5x on ~300-shingle docs).
+    #: The early size-ratio prune keeps using TRUE set sizes (carried as a
+    #: separate int), so its bound remains provable.
+    verify_sketch_k: int = 0
     omit_low_delta: float = 0.001
     langs: tuple[str, ...] | None = None   # None = keep all languages
     shuffle_partitions: int = 32
@@ -165,3 +175,10 @@ class DedupConfig:
 
 #: canonical reference-parity config (script/run.sh:6-11)
 REFERENCE_CONFIG = DedupConfig()
+
+
+#: production/bench scale config: KMV bottom-128 verification (recall on
+#: the planted corpus measured identical to exact at 3 significant digits;
+#: verify shuffle ~2.5x smaller). Oracle-parity queries keep
+#: REFERENCE_CONFIG (exact full-set Jaccard).
+SCALE_CONFIG = DedupConfig(verify_sketch_k=128)

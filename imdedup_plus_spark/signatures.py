@@ -151,13 +151,16 @@ def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame
     has_set = "shingle_set" in sig_df.columns
     if has_set:
         # carry the shingle-set size: candidate_pairs uses it for the early
-        # size-ratio prune (J <= min/max of set sizes); the set may be an
-        # ARRAY<INT> (SQL path) or packed int32 BINARY (kernel path)
-        if dict(sig_df.dtypes).get("shingle_set") == "binary":
+        # size-ratio prune (J <= min/max of TRUE set sizes); the set column
+        # may be an ARRAY<INT> (SQL path) or packed int32 BINARY (kernel
+        # path, possibly bottom-k truncated — hence the explicit n_set_true)
+        if "n_set_true" in sig_df.columns:
+            n_set = F.col("n_set_true")
+        elif dict(sig_df.dtypes).get("shingle_set") == "binary":
             n_set = F.expr("CAST(length(shingle_set) / 4 AS INT)")
         else:
             n_set = F.size("shingle_set").cast("int")
-        cols.append(n_set.alias("n_set"))
+        cols.append(n_set.cast("int").alias("n_set"))
     out = sig_df.select(*cols)
     proj = [
         F.col(id_col),
@@ -246,11 +249,12 @@ def signature_kernel_arrow(
     M = np.uint64(HASH_MOD)
     SM = np.uint64(SHINGLE_MULT)
     langs = None if cfg.langs is None else set(cfg.langs)
+    sketch_k = cfg.verify_sketch_k
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         wh_of = _word_hash_py
         for pdf in batches:
-            ids, sigs, sets = [], [], []
+            ids, sigs, sets, nsets = [], [], [], []
             lang_vals = pdf["lang"].values if langs is not None else None
             for i, (doc_id, text) in enumerate(
                 zip(pdf[id_col].values, pdf[text_col].values)
@@ -270,15 +274,23 @@ def signature_kernel_arrow(
                 # packed little-endian int32: a BINARY cell crosses the
                 # Arrow/shuffle boundary as one memcpy, where ARRAY<INT>
                 # pays per-element conversion in every hop
-                sets.append(np.unique(sh).astype("<i4").tobytes())
+                uniq = np.unique(sh).astype("<i4")
+                nsets.append(len(uniq))
+                if sketch_k:
+                    # bottom-k KMV sketch: k smallest (already sorted)
+                    uniq = uniq[:sketch_k]
+                sets.append(uniq.tobytes())
                 ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "sig": sigs, "shingle_set": sets})
+            yield pd.DataFrame(
+                {id_col: ids, "sig": sigs, "shingle_set": sets,
+                 "n_set_true": np.array(nsets, dtype=np.int32)}
+            )
 
     id_field = df.schema[id_col]
     cols = [id_col, text_col] + (["lang"] if langs is not None else [])
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
-        "sig array<bigint>, shingle_set binary"
+        "sig array<bigint>, shingle_set binary, n_set_true int"
     )
     return df.select(*cols).mapInPandas(fn, schema=schema)
 

@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--shingle-window", type=int, default=2)
     ap.add_argument("--bucket-cap", type=int, default=32)
     ap.add_argument("--verify-jaccard-pct", type=int, default=30)
+    ap.add_argument("--verify-sketch-k", type=int, default=0,
+                    help="0 = exact full-set Jaccard; k>0 = KMV bottom-k sketch verification (recall-equivalent at k>=96 on the planted corpus, ~|set|/k less verify shuffle)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -45,6 +47,7 @@ def main() -> int:
         shingle_window=args.shingle_window,
         bucket_cap=args.bucket_cap,
         verify_jaccard_pct=args.verify_jaccard_pct,
+        verify_sketch_k=args.verify_sketch_k,
     )
     spark = get_spark(
         app_name="imdedup-plus-spark-pipeline",

@@ -55,3 +55,27 @@ def test_exact_dups_verified(run):
             ["url_a", "url_b"],
         )
         assert merged.count() == n_exact
+
+
+def test_sketch_verify_recall(spark, fixture_corpus):
+    """KMV bottom-k verification keeps planted-pair recall >= 0.99
+    (the scale config used by the bench pipeline)."""
+    from pyspark.sql import functions as F
+
+    from imdedup_plus_spark import candidates as C, fixtures as FX, signatures as S
+    from imdedup_plus_spark.config import DedupConfig
+
+    cfg = DedupConfig(verify_sketch_k=128)
+    exp = FX.expected_dup_pairs(fixture_corpus)
+    sig = S.signature_kernel_arrow(fixture_corpus, cfg, "url").persist()
+    ver = C.verify_pairs_kernel(
+        C.candidate_pairs(S.explode_bands(sig, cfg, "url"), cfg, "url"), sig, cfg, "url"
+    )
+    n_exp = exp.count()
+    hit = exp.join(
+        ver.select(F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")),
+        ["url_a", "url_b"],
+    ).count()
+    assert n_exp > 0
+    assert hit / n_exp >= 0.99
+    sig.unpersist()
