@@ -254,8 +254,8 @@ def run_scaling_half(master: str, n_base: int, shuffle_parts: int) -> None:
 #: the Python worker, so a 32-CPU box saturates at 16 executor threads —
 #: local[32] oversubscribes 2x and measures the scheduler, not the engine.
 #: A real deployment sizes spark.executor.cores the same way.
-SCALING_N = os.environ.get("SCALING_N", "local[2]")
-SCALING_4N = os.environ.get("SCALING_4N", "local[8]")
+SCALING_N = os.environ.get("SCALING_N", "local[1]")
+SCALING_4N = os.environ.get("SCALING_4N", "local[4]")
 
 
 def run_scaling(n_base: int = 20000) -> None:
