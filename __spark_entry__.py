@@ -187,19 +187,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_stats"] = lambda spark, sf: T.token_stats(_docs(spark, sf), ID)
     q["text_quality_score"] = lambda spark, sf: T.quality_score(_docs(spark, sf), ID)
     q["text_lang_id"] = lambda spark, sf: T.lang_id(_docs(spark, sf), ID)
-    q["text_simhash"] = lambda spark, sf: T.simhash(_docs(spark, sf), ID)
+    q["text_simhash"] = lambda spark, sf: T.simhash_kernel(_docs(spark, sf), ID)
 
     # --- SimHash near-dup lane: banded hamming-<=3 pairing ---
-    q["dedup_simhash_pairs"] = lambda spark, sf: T.simhash_pairs(_docs(spark, sf), ID)
+    q["dedup_simhash_pairs"] = lambda spark, sf: T.simhash_pairs_kernel(_docs(spark, sf), ID)
 
     # --- embedding-cosine near-dup lane ---
-    q["dedup_embedding_cosine"] = lambda spark, sf: ann.cosine_neardup_pairs(_emb(spark, sf))
+    q["dedup_embedding_cosine"] = lambda spark, sf: ann.cosine_neardup_pairs_kernel(_emb(spark, sf))
 
     # --- multimodal binary-column lane (metadata over UTF-8 payload) ---
     q["mm_binary_metadata"] = lambda spark, sf: MM.text_binary_metadata(_docs(spark, sf), ID)
 
     # --- similarity search over embeddings ---
-    q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk(_emb(spark, sf))
+    q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk_kernel(_emb(spark, sf))
     q["emb_lsh_ann_topk"] = lambda spark, sf: ann.lsh_ann_topk(_emb(spark, sf))
 
     # --- relational skeleton demos (SURVEY §2.2: scans/filters/joins/aggs/

@@ -71,16 +71,16 @@ def build_queries(spark, sf_dir):
         _force(T.exact_dup_groups(docs, ID))
 
     def q_simhash():
-        _force(T.simhash(docs, ID))
+        _force(T.simhash_kernel(docs, ID))
 
     def q_cosine_topk():
-        _force(ann.cosine_topk(emb))
+        _force(ann.cosine_topk_kernel(emb))
 
     def q_simhash_pairs():
-        _force(T.simhash_pairs(docs, ID))
+        _force(T.simhash_pairs_kernel(docs, ID))
 
     def q_cosine_neardup():
-        _force(ann.cosine_neardup_pairs(emb))
+        _force(ann.cosine_neardup_pairs_kernel(emb))
 
     def q_tpch_pricing():
         from pyspark.sql import functions as F

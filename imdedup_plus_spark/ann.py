@@ -255,3 +255,80 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM e a CROSS JOIN e b
 WHERE a.vec_id < b.vec_id
   AND {cos} >= {threshold_permille} / 1000.0"""
+
+
+def _cosine_kernel_over(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
+    """Compute round(dot(va, vb) / (na * nb), 6) in numpy with the SAME
+    left-fold order as the SQL ``aggregate`` expression: acc += va_i * vb_i
+    for i = 0..dim-1, vectorized ACROSS pairs (the fold order per pair is
+    unchanged, so the IEEE-754 doubles are bit-identical to the JVM's)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"].values])
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"].values])
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(va.shape[1]):
+                acc = acc + va[:, i] * vb[:, i]
+            cos = np.round(acc / (pdf["na"].values * pdf["nb"].values), 6)
+            out = {c: pdf[c].values for c in out_cols}
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    id_types = {c: dict(pairs.dtypes)[c] for c in out_cols}
+    schema = ", ".join(f"{c} {id_types[c]}" for c in out_cols) + ", cosine double"
+    return pairs.mapInPandas(fn, schema=schema)
+
+
+def cosine_topk_kernel(
+    emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Kernel twin of ``cosine_topk`` — identical values (tested), the
+    O(n^2) dot products run in numpy instead of interpreted ``aggregate``."""
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_id") != F.col("neighbor_id"))
+    scored = _cosine_kernel_over(pairs, ["vec_id", "neighbor_id"])
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def cosine_neardup_pairs_kernel(
+    emb: DataFrame, threshold_permille: int = NEARDUP_COSINE_PERMILLE,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
+) -> DataFrame:
+    """Kernel twin of ``cosine_neardup_pairs`` (identical values)."""
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = _cosine_kernel_over(pairs, ["id_a", "id_b"])
+    return scored.where(F.col("cosine") >= threshold_permille / 1000.0).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -383,3 +383,134 @@ SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def simhash_sh_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """numpy twin of ``simhash_sh`` — identical 48-bit values (tested),
+    Arrow-batched execution. The HOF form evaluates 48 interpreted
+    ``filter`` lambdas per document; this computes the same per-bit
+    majority votes as one (n_shingles x 48) bit-matrix reduction."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .config import HASH_MOD, PERM_P, SHINGLE_MULT, REFERENCE_CONFIG as _CFG
+    from .signatures import _word_hash_py
+
+    win = _CFG.shingle_window
+    perm_bits = _simhash_sh_perm_bits()
+    # group by permutation: (k, b) -> list of bit positions r
+    k0, b0, _ = perm_bits[0]
+    k1, b1, _ = perm_bits[SIMHASH_BITS_PER_PERM]
+    P = np.uint64(PERM_P)
+    M = np.uint64(HASH_MOD)
+    SM = np.uint64(SHINGLE_MULT)
+    R = np.arange(SIMHASH_BITS_PER_PERM, dtype=np.uint64)
+    W0 = np.uint64(1) << np.arange(0, SIMHASH_BITS_PER_PERM, dtype=np.uint64)
+    W1 = np.uint64(1) << np.arange(
+        SIMHASH_BITS_PER_PERM, SIMHASH_PAIR_BITS, dtype=np.uint64
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = str(text).lower().split()
+                if len(toks) < win:
+                    ids.append(doc_id)
+                    out.append(0)
+                    continue
+                wh = np.array([_word_hash_py(t) for t in toks], dtype=np.uint64)
+                sh = wh[: len(wh) - win + 1].copy()
+                for j in range(1, win):
+                    sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
+                n = sh.size
+                h = 0
+                for (k, b, weights) in ((k0, b0, W0), (k1, b1, W1)):
+                    p = (sh * np.uint64(k) + np.uint64(b)) % P
+                    bits = (p[:, None] >> R) & np.uint64(1)  # (n, 24)
+                    counts = bits.sum(axis=0)
+                    h += int(weights[2 * counts > n].sum())
+                ids.append(doc_id)
+                out.append(h)
+            yield pd.DataFrame({id_col: ids, "simhash": np.array(out, dtype=np.int64)})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, simhash bigint"
+    )
+
+
+def simhash_pairs_kernel(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """``simhash_pairs`` with the kernel simhash (identical output)."""
+    bits_per = SIMHASH_PAIR_BITS // n_bands
+    sh = simhash_sh_kernel(docs, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), j -> "
+                f"(simhash div shiftleft(CAST(1 AS BIGINT), j * {bits_per})) "
+                f"% {1 << bits_per})"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """numpy twin of ``simhash`` (32-bit word-hash SimHash) — identical
+    values, Arrow-batched bit-matrix majority vote."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import _word_hash_py
+
+    R = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    W = np.uint64(1) << R
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = str(text).lower().split()
+                ids.append(doc_id)
+                if not toks:
+                    out.append(0)
+                    continue
+                wh = np.array([_word_hash_py(t) for t in toks], dtype=np.uint64)
+                bits = (wh[:, None] >> R) & np.uint64(1)
+                counts = bits.sum(axis=0)
+                out.append(int(W[2 * counts > len(wh)].sum()))
+            yield pd.DataFrame({id_col: ids, "simhash": np.array(out, dtype=np.int64)})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, simhash bigint"
+    )

@@ -57,3 +57,15 @@ def test_cosine_neardup_threshold_and_symmetry(spark):
     for r in pairs:
         assert r.id_a < r.id_b
         assert r.cosine >= ann.NEARDUP_COSINE_PERMILLE / 1000.0
+
+
+def test_kernel_twins_match_sql_forms(spark, fixture_corpus):
+    """numpy kernel twins produce bit-identical rows to the SQL forms."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in ann.cosine_topk(emb).collect())
+    b = sorted(tuple(r) for r in ann.cosine_topk_kernel(emb).collect())
+    assert a == b
+    docs = fixture_corpus.select(F.col("url").alias("doc_id"), "text").limit(150)
+    c = sorted(tuple(r) for r in T.simhash_pairs(docs, "doc_id").collect())
+    d = sorted(tuple(r) for r in T.simhash_pairs_kernel(docs, "doc_id").collect())
+    assert c == d
