@@ -257,59 +257,73 @@ WHERE a.vec_id < b.vec_id
   AND {cos} >= {threshold_permille} / 1000.0"""
 
 
-def _cosine_kernel_over(pairs: DataFrame, out_cols: list[str]) -> DataFrame:
-    """Compute round(dot(va, vb) / (na * nb), 6) in numpy with the SAME
-    left-fold order as the SQL ``aggregate`` expression: acc += va_i * vb_i
-    for i = 0..dim-1, vectorized ACROSS pairs (the fold order per pair is
-    unchanged, so the IEEE-754 doubles are bit-identical to the JVM's)."""
-    import numpy as np
-    import pandas as pd
-    from collections.abc import Iterator
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"].values])
-            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"].values])
-            acc = np.zeros(n, dtype=np.float64)
-            for i in range(va.shape[1]):
-                acc = acc + va[:, i] * vb[:, i]
-            cos = np.round(acc / (pdf["na"].values * pdf["nb"].values), 6)
-            out = {c: pdf[c].values for c in out_cols}
-            out["cosine"] = cos
-            yield pd.DataFrame(out)
-
-    id_types = {c: dict(pairs.dtypes)[c] for c in out_cols}
-    schema = ", ".join(f"{c} {id_types[c]}" for c in out_cols) + ", cosine double"
-    return pairs.mapInPandas(fn, schema=schema)
-
-
 def cosine_topk_kernel(
     emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = DIM,
 ) -> DataFrame:
-    """Kernel twin of ``cosine_topk`` — identical values (tested), the
-    O(n^2) dot products run in numpy instead of interpreted ``aggregate``."""
+    """Kernel twin of ``cosine_topk`` — identical values (tested).
+
+    The brute-force baseline is O(n^2) BY CONTRACT (it exists to oracle
+    ``lsh_ann_topk``; at scale use the LSH path), so the full vector
+    matrix fits comfortably in a broadcast (n x dim doubles). Each Arrow
+    batch scores its rows against the broadcast matrix with the SAME
+    per-pair left-fold order as the SQL ``aggregate`` (acc += a_i * b_i,
+    i ascending — vectorized across pairs, order per pair unchanged), so
+    doubles are bit-identical; top-k selection happens in-kernel, so only
+    n*k rows ever cross the Arrow boundary instead of n^2.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
         "nrm", F.expr(_norm_expr(vec_col, dim))
     )
-    a = e.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.crossJoin(b).where(F.col("vec_id") != F.col("neighbor_id"))
-    scored = _cosine_kernel_over(pairs, ["vec_id", "neighbor_id"])
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    rows = e.collect()
+    all_ids = np.array([r[0] for r in rows])
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    all_nrm = np.array([r[2] for r in rows], dtype=np.float64)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((all_ids, V, all_nrm))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Vb, nrm_b = bc.value
+        order_ids = ids_b
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values])
+            na = pdf["nrm"].values.astype(np.float64)
+            acc = np.zeros((n, len(ids_b)), dtype=np.float64)
+            for i in range(A.shape[1]):
+                acc += A[:, i][:, None] * Vb[:, i][None, :]
+            cos = np.round(acc / (na[:, None] * nrm_b[None, :]), 6)
+            out_v, out_n, out_c, out_r = [], [], [], []
+            my_ids = pdf[id_col].values
+            for r in range(n):
+                row = cos[r]
+                mask = order_ids != my_ids[r]
+                cand_ids = order_ids[mask]
+                cand_cos = row[mask]
+                # SQL order: cosine DESC, neighbor_id ASC (lexsort: last
+                # key is primary)
+                sel = np.lexsort((cand_ids, -cand_cos))[:k]
+                for rank, j in enumerate(sel, start=1):
+                    out_v.append(my_ids[r])
+                    out_n.append(cand_ids[j])
+                    out_c.append(cand_cos[j])
+                    out_r.append(rank)
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n,
+                 "cosine": np.array(out_c, dtype=np.float64),
+                 "rank": np.array(out_r, dtype=np.int32)}
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return e.mapInPandas(
+        fn,
+        schema=f"vec_id {id_type}, neighbor_id {id_type}, cosine double, rank int",
     )
 
 
@@ -317,18 +331,44 @@ def cosine_neardup_pairs_kernel(
     emb: DataFrame, threshold_permille: int = NEARDUP_COSINE_PERMILLE,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
 ) -> DataFrame:
-    """Kernel twin of ``cosine_neardup_pairs`` (identical values)."""
+    """Kernel twin of ``cosine_neardup_pairs`` (identical values) — same
+    broadcast-matrix block scoring as ``cosine_topk_kernel``; only the
+    above-threshold pairs cross the Arrow boundary."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
         "nrm", F.expr(_norm_expr(vec_col, dim))
     )
-    a = e.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    scored = _cosine_kernel_over(pairs, ["id_a", "id_b"])
-    return scored.where(F.col("cosine") >= threshold_permille / 1000.0).select(
-        "id_a", "id_b", "cosine"
+    rows = e.collect()
+    all_ids = np.array([r[0] for r in rows])
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    all_nrm = np.array([r[2] for r in rows], dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((all_ids, V, all_nrm))
+    thr = threshold_permille / 1000.0
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Vb, nrm_b = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values])
+            na = pdf["nrm"].values.astype(np.float64)
+            acc = np.zeros((n, len(ids_b)), dtype=np.float64)
+            for i in range(A.shape[1]):
+                acc += A[:, i][:, None] * Vb[:, i][None, :]
+            cos = np.round(acc / (na[:, None] * nrm_b[None, :]), 6)
+            my_ids = pdf[id_col].values
+            keep = (my_ids[:, None] < ids_b[None, :]) & (cos >= thr)
+            r_idx, c_idx = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": my_ids[r_idx], "id_b": ids_b[c_idx],
+                 "cosine": cos[r_idx, c_idx]}
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return e.mapInPandas(
+        fn, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
