@@ -33,19 +33,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.with_signature(S.valid_documents(_docs(spark, sf_dir), CFG), CFG)
+    # the production scale path (Arrow kernel); bit-identical to the SQL
+    # form `with_signature(valid_documents(...))` (tests/test_signatures),
+    # so the DuckDB oracles verify the path that actually ships
+    return S.signature_kernel_arrow(_docs(spark, sf_dir), CFG, ID)
 
 
 def _verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _sig(spark, sf_dir)
     bands = S.explode_bands(sig, CFG, ID)
-    return C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+    return C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
 
 
 def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _sig(spark, sf_dir)
     bands = S.explode_bands(sig, CFG, ID)
-    ver = C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+    ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
     return CL.clusters_from_pairs(sig, ver, ID)
 
 

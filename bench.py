@@ -45,24 +45,24 @@ def build_queries(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     def q_signatures():
-        _force(S.with_signature(S.valid_documents(docs, CFG), CFG).select(ID, "sig"))
+        _force(S.signature_kernel_arrow(docs, CFG, ID).select(ID, "sig"))
 
     def q_verified_pairs():
-        sig = S.with_signature(S.valid_documents(docs, CFG), CFG)
+        sig = S.signature_kernel_arrow(docs, CFG, ID)
         bands = S.explode_bands(sig, CFG, ID)
-        _force(C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID))
+        _force(C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID))
 
     def q_clusters():
-        sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+        sig = S.signature_kernel_arrow(docs, CFG, ID).persist()
         bands = S.explode_bands(sig, CFG, ID)
-        ver = C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+        ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
         _force(CL.clusters_from_pairs(sig, ver, ID))
         sig.unpersist()
 
     def q_spans():
-        sig = S.with_signature(S.valid_documents(docs, CFG), CFG).persist()
+        sig = S.signature_kernel_arrow(docs, CFG, ID).persist()
         bands = S.explode_bands(sig, CFG, ID)
-        ver = C.verify_pairs(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
+        ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID)
         best = C.best_base(ver)
         _force(SP.extract_spans(SP.pair_texts_from_best_base(best, docs, ID), CFG))
         sig.unpersist()
