@@ -100,7 +100,7 @@ def run_half(cores_max: int, corpus: str) -> dict:
 
         from imdedup_plus_spark import candidates as C, clustering as CL
         from imdedup_plus_spark import signatures as S
-        from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+        from imdedup_plus_spark.config import SCALE_CONFIG as CFG
 
         spark = (
             SparkSession.builder.appName(f"scaling-{cores_max}")
