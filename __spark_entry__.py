@@ -146,6 +146,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_spans"] = _spans
     q["dedup_span_summary"] = lambda spark, sf: SP.span_summary(_spans(spark, sf))
 
+    # --- corpus-level dedup ratio (compression-ratio analog, main.c:444;
+    #     derives from the spans kernel -> rows-only like dedup_spans) ---
+    q["dedup_ratio"] = lambda spark, sf: M.dedup_ratio(
+        SP.span_summary(_spans(spark, sf))
+    )
+
     # --- global metric fold (#19) ---
     def _metrics(spark, sf):
         sig = _sig(spark, sf)
