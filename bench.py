@@ -113,7 +113,10 @@ def build_queries(spark, sf_dir):
 
 def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # default 16, not nproc: several headline queries are Arrow-kernel
+    # stages, and JVM feeder + Python worker per task saturate the 32-CPU
+    # host at 16 (measured: 23.6s headline at 16 vs 28.7s at 32)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     qs = build_queries(spark, sf_dir)
