@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity search over embeddings ---
     q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk_kernel(_emb(spark, sf))
     q["emb_lsh_ann_topk"] = lambda spark, sf: ann.lsh_ann_topk(_emb(spark, sf))
+    # IVF-flat lane: deterministic coarse quantizer -> inverted lists ->
+    # nprobe probing (third ANN lane; see ann.ivf_ann_topk docstring)
+    q["emb_ivf_ann_topk"] = lambda spark, sf: ann.ivf_ann_topk(_emb(spark, sf))
+    q["emb_ivf_cells"] = lambda spark, sf: ann.ivf_cells(_emb(spark, sf))
 
     # --- relational skeleton demos (SURVEY §2.2: scans/filters/joins/aggs/
     #     windows on the TPC-H-ish tables) ---
@@ -297,6 +301,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["orders_monthly_revenue"] = _monthly
+
+    # --- multi-level aggregation: ROLLUP with grouping id (§2.2 "no
+    #     grouping sets in the reference"; the engine provides them) ---
+    def _rollup(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+
+    q["orders_rollup_revenue"] = _rollup
+
+    # --- as-of join: each order joined to the customer's most recent
+    #     event at-or-before the order date (union-interleave plan: one
+    #     shuffle, no range-join pair explosion — relational.asof_join) ---
+    def _asof(spark, sf):
+        from imdedup_plus_spark import relational as REL
+
+        ev = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .select(
+                F.col("user_id").alias("o_custkey"), "ts", "event_id", "event_type"
+            )
+        )
+        orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        r = REL.asof_join(
+            orders,
+            ev,
+            on="o_custkey",
+            left_ts="o_orderdate",
+            right_ts="ts",
+            value_cols=["event_id", "event_type"],
+            tiebreak="event_id",
+        )
+        return r.select("o_orderkey", "o_custkey", "asof_event_id", "asof_event_type")
+
+    q["events_orders_asof"] = _asof
 
     return q
 
@@ -409,6 +453,23 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        round(sum(o_totalprice), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1""",
+        "emb_ivf_ann_topk": ann.ivf_ann_topk_sql(),
+        "emb_ivf_cells": ann.ivf_cells_sql(),
+        "orders_rollup_revenue": """
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS INT) AS gid
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "events_orders_asof": """
+SELECT o_orderkey, o_custkey, event_id AS asof_event_id, event_type AS asof_event_type
+FROM (
+  SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY o.o_orderkey
+             ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+  FROM orders o LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+) WHERE rn = 1""",
     }
     # dedup_spans / dedup_span_summary intentionally have no oracle: the
     # greedy LCS kernel is not SQL-expressible (driver records rows-only).

@@ -200,6 +200,151 @@ ranked AS (
 SELECT vec_id, bucket, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + inverted lists
+# ---------------------------------------------------------------------------
+
+IVF_N_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _ivf_scored(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cell_id, cell_rank): every vector scored
+    against the deterministic codebook, ranked by cosine.
+
+    Codebook = the ``n_cells`` vectors with the smallest ids (a seedless
+    deterministic coarse quantizer; a real deployment would run k-means||
+    offline and broadcast the trained codebook — the *plan shape* is
+    identical: tiny dimension table, broadcast hash join, no shuffle).
+    ``cell_id`` is the seed vector's own id.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
+    )
+    seeds = (
+        e.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos = f"round({_dot_expr(vec_col, 'cvec', dim)} / (nrm * cnrm), 6)"
+    scored = e.crossJoin(F.broadcast(seeds)).withColumn("cell_cos", F.expr(cos))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id").asc()
+    )
+    return scored.withColumn("cell_rank", F.row_number().over(w))
+
+
+def ivf_cells(
+    emb: DataFrame, n_cells: int = IVF_N_CELLS,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
+) -> DataFrame:
+    """Inverted-list sizes (cell_id, cell_size) — the IVF analog of the
+    LSH ``band_buckets`` observability query (a skewed cell is the IVF
+    version of a hot band; at scale it triggers cell splitting)."""
+    a = _ivf_scored(emb, n_cells, id_col, vec_col, dim).where("cell_rank = 1")
+    return a.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame, k: int = 3, n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    codebook cell (inverted lists), probe the ``nprobe`` nearest cells per
+    query, exact cosine only within probed lists.
+
+    The third ANN lane next to brute force (oracle) and hyperplane LSH:
+    candidate volume is sum over probes of |cell| instead of n — with
+    balanced cells the pairing join touches ``nprobe/n_cells`` of the
+    corpus per query. One shuffle on ``cell_id`` co-locates each inverted
+    list; each vector lands in exactly one list, so a (query, neighbor)
+    pair can only arise once — no post-join dedup needed.
+    """
+    scored = _ivf_scored(emb, n_cells, id_col, vec_col, dim)
+    assign = scored.where("cell_rank = 1").select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    probes = scored.where(f"cell_rank <= {nprobe}").select(
+        F.col(id_col).alias("vec_id"),
+        "cell_id",
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cos = f"round({_dot_expr('va', 'vb', dim)} / (na * nb), 6)"
+    pairs = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cos))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def _ivf_scored_sql(n_cells: int, dim: int, table: str) -> str:
+    cell_cos = f"round({_dot_sql('e.embedding', 's.cvec', dim)} / (e.nrm * s.cnrm), 6)"
+    return f"""
+e AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+  FROM {table}
+),
+seeds AS (
+  SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm
+  FROM e ORDER BY vec_id ASC LIMIT {n_cells}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.nrm, s.cell_id, {cell_cos} AS cell_cos,
+         CAST(row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {cell_cos} DESC, s.cell_id ASC) AS INT) AS cell_rank
+  FROM e CROSS JOIN seeds s
+)"""
+
+
+def ivf_cells_sql(n_cells: int = IVF_N_CELLS, dim: int = DIM,
+                  table: str = "embeddings") -> str:
+    return f"""
+WITH {_ivf_scored_sql(n_cells, dim, table)}
+SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_size
+FROM scored WHERE cell_rank = 1 GROUP BY 1"""
+
+
+def ivf_ann_topk_sql(k: int = 3, n_cells: int = IVF_N_CELLS,
+                     nprobe: int = IVF_NPROBE, dim: int = DIM,
+                     table: str = "embeddings") -> str:
+    cos = f"round({_dot_sql('p.embedding', 'a.embedding', dim)} / (p.nrm * a.nrm), 6)"
+    return f"""
+WITH {_ivf_scored_sql(n_cells, dim, table)},
+assign AS (SELECT vec_id AS neighbor_id, cell_id, embedding, nrm FROM scored WHERE cell_rank = 1),
+probes AS (SELECT vec_id, cell_id, embedding, nrm FROM scored WHERE cell_rank <= {nprobe}),
+pairs AS (
+  SELECT p.vec_id, a.neighbor_id, {cos} AS cosine
+  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND p.vec_id != a.neighbor_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
 # the driver's embeddings are unplanted random vectors (max pairwise cosine
 # ~0.5 at sf0.01), so the near-dup threshold is set where the corpus has a
 # real, small tail — the operator semantics are threshold-parametric anyway

@@ -69,3 +69,37 @@ def test_kernel_twins_match_sql_forms(spark, fixture_corpus):
     c = sorted(tuple(r) for r in T.simhash_pairs(docs, "doc_id").collect())
     d = sorted(tuple(r) for r in T.simhash_pairs_kernel(docs, "doc_id").collect())
     assert c == d
+
+
+def test_ivf_ann_structure_and_recall(spark):
+    """IVF lane: exact cosines on probed candidates, full result shape,
+    and a recall floor vs brute force (the testdata embeddings are
+    deliberately unstructured random vectors, so an 8-cell coarse
+    quantizer at nprobe=2 measures 0.45 top-1 recall — the floor asserts
+    the lane stays wired, not approximation quality on noise)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = ann.ivf_ann_topk(emb, k=3).collect()
+    per_vec = {}
+    for r in ivf:
+        per_vec.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    n = emb.count()
+    assert len(per_vec) == n
+    for rows in per_vec.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r[2] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    # every reported cosine must equal the exact brute-force cosine
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cosine
+        for r in ann.cosine_topk(emb, k=n).collect()
+    }
+    for r in ivf:
+        assert exact[(r.vec_id, r.neighbor_id)] == r.cosine
+    bf1 = {r.vec_id: r.neighbor_id for r in ann.cosine_topk(emb, k=1).collect()}
+    iv1 = {r.vec_id: r.neighbor_id for r in ann.ivf_ann_topk(emb, k=1).collect()}
+    recall = sum(1 for v, nb in bf1.items() if iv1.get(v) == nb) / len(bf1)
+    assert recall >= 0.4
+    # inverted lists partition the corpus
+    cells = ann.ivf_cells(emb).collect()
+    assert sum(r.cell_size for r in cells) == n

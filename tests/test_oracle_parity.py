@@ -23,6 +23,10 @@ KEYS = [
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "mm_binary_metadata",
+    "emb_ivf_ann_topk",
+    "emb_ivf_cells",
+    "orders_rollup_revenue",
+    "events_orders_asof",
 ]
 
 
