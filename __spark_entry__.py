@@ -314,6 +314,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_rollup_revenue"] = _rollup
 
+    # --- streaming operator, batch-checked: the watermarked tumbling
+    #     window agg from streaming.py is semantics-identical on a batch
+    #     DF (watermark is a no-op), so the oracle gate covers it ---
+    def _wincounts(spark, sf):
+        from imdedup_plus_spark import streaming as ST
+
+        return ST.windowed_event_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+    q["events_windowed_counts"] = _wincounts
+
     # --- as-of join: each order joined to the customer's most recent
     #     event at-or-before the order date (union-interleave plan: one
     #     shuffle, no range-join pair explosion — relational.asof_join) ---
@@ -461,6 +471,11 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS INT) AS gid
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "events_windowed_counts": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2, 3""",
         "events_orders_asof": """
 SELECT o_orderkey, o_custkey, event_id AS asof_event_id, event_type AS asof_event_type
 FROM (

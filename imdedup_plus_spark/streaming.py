@@ -1,0 +1,188 @@
+"""Structured Streaming lane: incremental near-dup detection over arriving
+document micro-batches, plus watermarked event-time aggregation.
+
+The reference is a bounded batch job — its "streaming" is pthread stage
+pipelining (``/root/reference/idedup.c:832-924``), and each batch gets
+*fresh* feature tables (``idedup.c:824-830``), so late arrivals never match
+earlier batches. What a continuously-crawled corpus actually needs is the
+opposite: every arriving batch must be probed against the **accumulated**
+index. This module recasts the reference's insert+probe detection loop
+(``/root/reference/2df.c:458-516``: probe ``featureT[i]`` for candidates,
+then insert self) as incremental DataFrame dataflow:
+
+* per micro-batch: signature-sketch the new docs (Arrow kernel), LSH-probe
+  their bands against the band store (old ∪ new), verify candidates by
+  exact Jaccard, append verified pairs + the new signatures/bands to the
+  stores;
+* state lives in parquet stage stores (Iceberg tables on a real cluster —
+  the same layout as ``pipeline.py``'s checkpointed stages), NOT in Spark's
+  in-memory state store: at 10^12 docs the band index must be a table with
+  partition pruning on ``(band_id, band_hash)``, not executor heap, and
+  ``foreachBatch`` is the supported pattern for table-backed streaming
+  state;
+* exactly-once: the streaming checkpoint (``_stream_checkpoint``) makes
+  file-source progress idempotent, and batch ingestion is append-only —
+  re-running a processed batch is prevented by the source checkpoint, the
+  same design as ``pipeline.py``'s per-stage manifests.
+
+Incremental output == batch output: a pair (a, b) is emitted exactly when
+its later member arrives (the earlier member's bands are already in the
+store), with the same ``n_matching_bands``, verification arithmetic, and
+early size-ratio prune as the batch path — ``tests/test_streaming.py``
+asserts set equality against the batch pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import candidates as C
+from . import signatures as S
+from .config import DedupConfig
+
+
+def candidate_pairs_probe(
+    bands_new: DataFrame, bands_all: DataFrame, cfg: DedupConfig, id_col: str
+) -> DataFrame:
+    """Pair each *new* document against the full band index (old ∪ new).
+
+    Probe side = the new batch's bands; build side = all bands. A pair of
+    two new docs matches twice (each probes the other) — the distinct
+    band count collapses that. ``bucket_cap`` applies to the bucket size
+    *at probe time* (the reference's featureT probe likewise sees state
+    as of arrival); the early size-ratio prune is identical to the batch
+    path (``candidates.candidate_pairs_direct``).
+    """
+    has_set = "n_set" in bands_all.columns and cfg.verify_mode == "jaccard"
+    sizes = bands_all.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    ok = sizes.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    ).select("band_id", "band_hash")
+    keep_cols = [id_col, "band_id", "band_hash"] + (["n_set"] if has_set else [])
+    probe = bands_new.join(ok, ["band_id", "band_hash"]).select(*keep_cols)
+    build = bands_all.join(ok, ["band_id", "band_hash"]).select(*keep_cols)
+
+    a, b = probe.alias("a"), build.alias("b")
+    pairs0 = a.join(b, ["band_id", "band_hash"], "inner").where(
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+    )
+    if has_set:
+        pairs0 = pairs0.where(
+            F.expr(
+                "least(a.n_set, b.n_set) * 100 >= "
+                f"greatest(a.n_set, b.n_set) * {cfg.verify_jaccard_pct}"
+            )
+        )
+    return (
+        pairs0.select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            "band_id",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band_id").cast("long").alias("n_matching_bands"))
+        .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
+    )
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def incremental_dedup_batch(
+    batch_df: DataFrame, state_dir: str, cfg: DedupConfig, id_col: str = "url"
+) -> None:
+    """One micro-batch of the insert+probe loop (callable directly or from
+    ``foreachBatch``): sketch new docs, probe the band store, verify, and
+    append pairs + new state. Stores under ``state_dir``:
+    ``signatures/`` ``bands/`` (the index) and ``pairs/`` (the output)."""
+    spark = batch_df.sparkSession
+    sig_store = f"{state_dir}/signatures"
+    bands_store = f"{state_dir}/bands"
+    pairs_store = f"{state_dir}/pairs"
+
+    sig_new = S.signature_kernel_arrow(batch_df, cfg, id_col)
+    sig_new = sig_new.localCheckpoint(eager=True)  # compute once: probed AND appended
+    bands_new = S.explode_bands(sig_new, cfg, id_col)
+
+    if _store_exists(spark, bands_store):
+        bands_all = spark.read.parquet(bands_store).unionByName(bands_new)
+        sig_all = spark.read.parquet(sig_store).unionByName(sig_new)
+    else:
+        bands_all, sig_all = bands_new, sig_new
+
+    cand = candidate_pairs_probe(bands_new, bands_all, cfg, id_col)
+    ver = C.verify_pairs_kernel(cand, sig_all, cfg, id_col)
+    ver.write.mode("append").parquet(pairs_store)
+    bands_new.write.mode("append").parquet(bands_store)
+    sig_new.write.mode("append").parquet(sig_store)
+
+
+def run_incremental_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all currently-available files under ``input_dir`` through the
+    incremental loop (``Trigger.AvailableNow``) and stop. Re-invoking after
+    new files land processes only the new ones — the stream checkpoint
+    under ``state_dir/_stream_checkpoint`` carries source progress across
+    runs (the kill-and-resume story of the north rule, streaming edition).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _fb(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_dedup_batch(batch_df, state_dir, cfg, id_col)
+
+    q = (
+        stream.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", f"{state_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{state_dir}/pairs")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the late-data
+    aggregation pattern for streaming event tables. Works on both batch
+    and streaming DataFrames; on a stream in append mode a window is
+    emitted once the watermark (max event time − ``watermark_delay``)
+    passes its end, so stragglers within the delay still count and older
+    ones are dropped deterministically."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

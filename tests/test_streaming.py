@@ -1,0 +1,121 @@
+"""Streaming lane: incremental insert+probe equals the batch pipeline, the
+file-source checkpoint resumes across runs, and watermarked windows match
+their batch values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import candidates as C
+from imdedup_plus_spark import signatures as S
+from imdedup_plus_spark import streaming as ST
+from imdedup_plus_spark.config import DedupConfig
+
+#: huge cap so probe-time and global bucket-cap semantics coincide — the
+#: cap-equality caveat is documented in candidate_pairs_probe
+CFG = DedupConfig(bucket_cap=1_000_000)
+
+PAIR_COLS = ["id_a", "id_b", "n_matching_bands", "n_eq", "inter", "un"]
+
+
+def _batch_pairs(docs, id_col="url"):
+    sig = S.signature_kernel_arrow(docs, CFG, id_col)
+    bands = S.explode_bands(sig, CFG, id_col)
+    ver = C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, id_col), sig, CFG, id_col)
+    return {tuple(r) for r in ver.select(*PAIR_COLS).collect()}
+
+
+def _halves(fixture_corpus):
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    h1 = docs.where(F.crc32(F.col("url")) % 2 == 0)
+    h2 = docs.where(F.crc32(F.col("url")) % 2 == 1)
+    return docs, h1, h2
+
+
+def test_incremental_matches_batch(spark, fixture_corpus, tmp_path):
+    docs, h1, h2 = _halves(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url")
+    ST.incremental_dedup_batch(h2, state, CFG, "url")
+    got = {tuple(r) for r in ST.read_pairs(spark, state).select(*PAIR_COLS).collect()}
+    assert got == _batch_pairs(docs)
+
+
+def test_stream_file_source_and_resume(spark, fixture_corpus, tmp_path):
+    """Two stream invocations over a growing input dir: the second run's
+    checkpoint skips already-processed files, and the union of emitted
+    pairs equals the batch pipeline on the full corpus."""
+    docs, h1, h2 = _halves(fixture_corpus)
+    input_dir = str(tmp_path / "input")
+    state = str(tmp_path / "state")
+
+    h1.write.mode("append").parquet(input_dir)
+    ST.run_incremental_stream(spark, input_dir, state, CFG, "url")
+    n_after_first = ST.read_pairs(spark, state).count()
+
+    h2.write.mode("append").parquet(input_dir)
+    ST.run_incremental_stream(spark, input_dir, state, CFG, "url")
+
+    got = {tuple(r) for r in ST.read_pairs(spark, state).select(*PAIR_COLS).collect()}
+    assert got == _batch_pairs(docs)
+    # resume really was incremental: run 1 emitted only intra-h1 pairs
+    h1_ids = {r["url"] for r in h1.select("url").collect()}
+    intra_h1 = {t for t in got if t[0] in h1_ids and t[1] in h1_ids}
+    assert n_after_first == len(intra_h1)
+
+
+def test_rerun_with_no_new_files_is_noop(spark, fixture_corpus, tmp_path):
+    _, h1, _ = _halves(fixture_corpus)
+    input_dir = str(tmp_path / "input")
+    state = str(tmp_path / "state")
+    h1.write.mode("append").parquet(input_dir)
+    ST.run_incremental_stream(spark, input_dir, state, CFG, "url")
+    n1 = ST.read_pairs(spark, state).count()
+    ST.run_incremental_stream(spark, input_dir, state, CFG, "url")
+    assert ST.read_pairs(spark, state).count() == n1
+
+
+@pytest.mark.filterwarnings("ignore::ResourceWarning")
+def test_windowed_event_counts_append_stream(spark, tmp_path):
+    """Time-ordered arrival (the file source drains oldest-modtime first):
+    every window the watermark closes must carry exactly its batch count;
+    only the tail windows still within the watermark delay are withheld."""
+    import time
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    input_dir = str(tmp_path / "events_in")
+    q4 = events.withColumn("q", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        q4.where(F.col("q") == i).drop("q").coalesce(1).write.mode("append").parquet(input_dir)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out = ST.windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM win_counts").collect()
+    assert emitted, "multi-batch stream should close at least one window"
+
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]): r["n_events"]
+        for r in ST.windowed_event_counts(events).collect()
+    }
+    for r in emitted:
+        key = (r["window_start"], r["window_end"], r["event_type"])
+        assert batch[key] == r["n_events"]
