@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis (training-data ops) ---
     q["text_token_stats"] = lambda spark, sf: T.token_stats(_docs(spark, sf), ID)
+    q["text_bpe_tokens"] = lambda spark, sf: T.bpe_token_stats(_docs(spark, sf), ID)
     q["text_quality_score"] = lambda spark, sf: T.quality_score(_docs(spark, sf), ID)
     q["text_lang_id"] = lambda spark, sf: T.lang_id(_docs(spark, sf), ID)
     q["text_simhash"] = lambda spark, sf: T.simhash_kernel(_docs(spark, sf), ID)
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": T.exact_dup_groups_sql(ID),
         "text_fingerprint": T.fingerprint_sql(ID),
         "text_token_stats": T.token_stats_sql(ID),
+        "text_bpe_tokens": T.bpe_token_stats_sql(ID),
         "text_quality_score": T.quality_score_sql(ID),
         "text_lang_id": T.lang_id_sql(ID),
         "text_simhash": T.simhash_sql(ID),

@@ -53,6 +53,38 @@ def token_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other-glyphs.
+#: The three alternatives match DISJOINT character classes, so
+#: leftmost-first (Java regex) and leftmost-longest agree — the count is
+#: engine-independent by construction (same string in DuckDB's RE2).
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens): subword-style pre-tokenizer count
+    next to the whitespace count — the pair a training-data pipeline uses
+    to budget sequence lengths before real BPE runs. All JVM built-ins
+    (regexp_extract_all), narrow map."""
+    return docs.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("bigint").alias("n_bpe_tokens"),
+        F.expr(f"CAST(size({tokens_expr(text_col)}) AS BIGINT)").alias("n_ws_tokens"),
+    )
+
+
+def bpe_token_stats_sql(id_col: str, table: str = "documents") -> str:
+    from .oracle import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+SELECT {id_col},
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len({toks}) AS BIGINT) AS n_ws_tokens
+FROM {table}"""
+
+
 def quality_score(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Heuristic quality features, all integer (permille ratios via floor):
     stopword density, punctuation density, mean token length, plus the

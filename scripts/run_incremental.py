@@ -1,0 +1,83 @@
+"""spark-submit entry point for the Structured Streaming incremental lane.
+
+Ships like the batch pipeline::
+
+    sh scripts/make_pyfiles.sh
+    spark-submit --py-files dist/imdedup_plus_spark.zip \
+        scripts/run_incremental.py \
+        --input /landing/dir/of/document_parquet_files \
+        --state /path/to/state_tables \
+        --id-col url
+
+Each invocation drains all files currently under ``--input`` that the
+stream checkpoint has not yet processed (``Trigger.AvailableNow``), probes
+them against the accumulated band index under ``--state``, appends verified
+pairs, and exits. Run it from cron / an orchestrator as new crawl batches
+land; state and progress survive across invocations (and crashes — the
+foreachBatch appends are gated by the source checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="landing dir watched by the file source")
+    ap.add_argument("--state", required=True, help="dir for band/signature/pair state tables")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument(
+        "--schema",
+        default="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ap.add_argument("--n-bands", type=int, default=8)
+    ap.add_argument("--rows-per-band", type=int, default=1)
+    ap.add_argument("--shingle-window", type=int, default=2)
+    ap.add_argument("--bucket-cap", type=int, default=32)
+    ap.add_argument("--verify-jaccard-pct", type=int, default=30)
+    ap.add_argument("--verify-sketch-k", type=int, default=128)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from imdedup_plus_spark import streaming as ST
+    from imdedup_plus_spark.config import DedupConfig
+    from imdedup_plus_spark.session import get_spark
+
+    cfg = DedupConfig(
+        n_bands=args.n_bands,
+        rows_per_band=args.rows_per_band,
+        shingle_window=args.shingle_window,
+        bucket_cap=args.bucket_cap,
+        verify_jaccard_pct=args.verify_jaccard_pct,
+        verify_sketch_k=args.verify_sketch_k,
+    )
+    spark = get_spark(
+        app_name="imdedup-plus-spark-incremental",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    ST.run_incremental_stream(
+        spark,
+        args.input,
+        args.state,
+        cfg,
+        id_col=args.id_col,
+        schema=args.schema,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    try:
+        n_pairs = ST.read_pairs(spark, args.state).count()
+    except Exception:
+        n_pairs = 0
+    print(json.dumps({"state": args.state, "total_verified_pairs": n_pairs}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

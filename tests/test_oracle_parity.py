@@ -26,6 +26,7 @@ KEYS = [
     "emb_ivf_ann_topk",
     "emb_ivf_cells",
     "orders_rollup_revenue",
+    "text_bpe_tokens",
     "events_orders_asof",
 ]
 
