@@ -23,6 +23,12 @@ from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
 
 ID = "doc_id"
 
+# reference config + sorted-neighborhood hot-bucket pairing (the
+# corpus-size-stable recall path; see candidates.candidate_pairs_hotwindow)
+import dataclasses as _dc
+
+HOTWIN_CFG = _dc.replace(CFG, hot_window=4)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -101,6 +107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_candidate_pairs"] = lambda spark, sf: C.candidate_pairs(
         S.explode_bands(_sig(spark, sf), CFG, ID), CFG, ID
+    )
+
+    # --- hot-bucket sorted-neighborhood pairing (scale-stable recall) ---
+    q["dedup_candidate_pairs_hotwin"] = lambda spark, sf: C.candidate_pairs_hotwindow(
+        S.explode_bands(_sig(spark, sf), HOTWIN_CFG, ID), HOTWIN_CFG, ID
     )
 
     # --- verification (FEATURE_CHECK analog) ---
@@ -387,6 +398,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_candidate_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands FROM cand_pairs"
+        ),
+        "dedup_candidate_pairs_hotwin": oracle.stage_query(
+            HOTWIN_CFG,
+            "SELECT id_a, id_b, n_matching_bands FROM cand_pairs",
+            id_col=ID,
+            table="documents",
         ),
         "dedup_verified_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands, n_eq, inter, un FROM verified"

@@ -158,6 +158,13 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
         os.sched_setaffinity(0, range(min(2 * n_threads, os.cpu_count())))
     except (IndexError, ValueError):
         pass
+    # corpus-scale shuffle goes to DISK, not the tmpfs default: the verify
+    # shuffle is ~#pairs x 2x(sig + KMV set) ~ 100 GB at 4.4M docs, and on
+    # tmpfs that competes with the JVM heap for RAM (measured: 50% wall
+    # swings from memory pressure, then a kernel OOM kill at 4.4M docs
+    # with hot-window pairing). A real cluster's shuffle lands on local
+    # disks for the same reason.
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/spark-local-bench")
     spark = get_spark(
         master=master,
         shuffle_partitions=shuffle_parts,

@@ -46,8 +46,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFram
 
     Delegates to the salted grid-blocked implementation (identical output,
     no stragglers); ``candidate_pairs_direct`` keeps the plain self-join
-    for tests and reference.
+    for tests and reference. With ``cfg.hot_window > 0`` hot buckets
+    additionally contribute sorted-neighborhood pairs instead of being
+    dropped (``candidate_pairs_hotwindow`` — the corpus-size-stable
+    recall path).
     """
+    if cfg.hot_window > 0 and "n_set" in bands.columns:
+        return candidate_pairs_hotwindow(bands, cfg, id_col)
     return candidate_pairs_salted(
         bands, cfg, id_col, split_threshold=cfg.pair_split_threshold
     )
@@ -157,6 +162,128 @@ def candidate_pairs_salted(
         pairs0.select("id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matching_bands"))
+        .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
+    )
+
+
+def candidate_pairs_hotwindow(
+    bands: DataFrame, cfg: DedupConfig, id_col: str, window: int | None = None
+) -> DataFrame:
+    """Salted full pairing for buckets <= ``bucket_cap`` PLUS
+    sorted-neighborhood pairing *inside* hot buckets, instead of dropping
+    them.
+
+    Why: dropping hot buckets makes recall corpus-size-dependent —
+    measured on the planted corpus at cap=32, pair recall is 0.9996 at
+    1.11M docs but 0.9935 at 4.44M docs (BENCH/BASELINE.md), because the
+    collision mass of popular band values grows with N and pushes true
+    groups' buckets over the cap. Extrapolated to 10^12 docs the
+    drop-the-bucket design breaches the >=0.99 criterion.
+
+    Fix (classic sorted-neighborhood blocking): members of a hot bucket
+    are sorted by ``(n_set, id)`` and each member pairs with its
+    ``window`` successors — O(s*window) pairs per bucket instead of s^2
+    (linear in bucket size, so hot buckets are affordable at any N).
+    True near-dups have near-equal shingle-set sizes, so group members
+    sort adjacently and keep enough intra-pairs for connected components
+    to merge the group; boilerplate interlopers of different lengths sort
+    away from them. Requires ``n_set`` on the bands (the kernel signature
+    path provides it).
+
+    Three tiers by bucket size (masses measured at 4.44M docs in
+    config.py): quiet (2..bucket_cap] full salted pairing; warm
+    (bucket_cap..mega_cap] sorted-neighborhood window; mega (> mega_cap)
+    dropped — a band value shared by thousands+ of documents is a corpus
+    stop-shingle whose match carries no pair signal, and window-pairing
+    it would add W*mass useless candidates to the verify shuffle.
+    """
+    import dataclasses
+
+    if window is None:
+        window = cfg.hot_window
+    if "n_set" not in bands.columns:
+        raise ValueError("hot-window pairing needs n_set on the bands")
+    # the band-match threshold must apply to the COMBINED quiet+hot count,
+    # so the quiet side is built threshold-free and filtered at the end
+    quiet = candidate_pairs_salted(
+        bands,
+        dataclasses.replace(cfg, band_match_threshold=1),
+        id_col,
+        split_threshold=cfg.pair_split_threshold,
+    )
+
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
+    hot = sized.where(
+        (F.col("bucket_size") > cfg.bucket_cap)
+        & (F.col("bucket_size") <= cfg.mega_cap)
+    )
+    rw = Window.partitionBy("band_id", "band_hash").orderBy(
+        F.col("n_set").asc(), F.col(id_col).asc()
+    )
+    ranked = hot.withColumn("r", F.row_number().over(rw))
+    # NB: Spark's sequence(start, stop) DESCENDS when stop < start, so the
+    # last-ranked member (r == bucket_size) must not build a probe list at
+    # all — sequence(r+1, r) would yield [r+1, r] and pair it with itself
+    a = ranked.where(F.col("r") < F.col("bucket_size")).select(
+        F.col(id_col).alias("ida"),
+        "band_id",
+        "band_hash",
+        F.col("n_set").alias("n_set_a"),
+        F.explode(
+            F.sequence(
+                F.col("r") + 1, F.least(F.col("r") + window, F.col("bucket_size"))
+            )
+        ).alias("rp"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("idb"),
+        "band_id",
+        "band_hash",
+        F.col("n_set").alias("n_set_b"),
+        F.col("r").alias("rp"),
+    )
+    hot_pairs = (
+        a.join(b, ["band_id", "band_hash", "rp"])
+        .where(
+            F.expr(
+                "least(n_set_a, n_set_b) * 100 >= "
+                f"greatest(n_set_a, n_set_b) * {cfg.verify_jaccard_pct}"
+            )
+            if cfg.verify_mode == "jaccard"
+            else F.lit(True)
+        )
+        .select(
+            F.least(F.col("ida"), F.col("idb")).alias("id_a"),
+            F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
+            "band_id",
+        )
+    )
+    all_emissions = quiet.select(
+        "id_a", "id_b", F.lit(None).cast("int").alias("band_id"), "n_matching_bands"
+    ).unionByName(
+        hot_pairs.select(
+            "id_a", "id_b", "band_id", F.lit(1).cast("long").alias("n_matching_bands")
+        )
+    )
+    # quiet-bucket counts are already aggregated; hot emissions add one per
+    # (pair, band). A pair can appear in both regimes (quiet in one band,
+    # hot in another) — sum the contributions.
+    return (
+        all_emissions.groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("band_id").isNull(), F.col("n_matching_bands")).otherwise(0)
+            ).alias("quiet_bands"),
+            F.countDistinct(F.col("band_id")).alias("hot_bands"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("quiet_bands") + F.col("hot_bands")).cast("long").alias(
+                "n_matching_bands"
+            ),
+        )
         .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
     )
 

@@ -159,6 +159,23 @@ class DedupConfig:
     #: quadratic candidate work at 100 TB. Off by default for oracle parity
     #: of the stage-by-stage queries; the production pipeline turns it on.
     exact_prepass: bool = False
+    #: sorted-neighborhood pairing inside hot buckets (> bucket_cap): each
+    #: member pairs with its `hot_window` successors in (n_set, id) order
+    #: instead of the bucket being dropped. 0 = drop hot buckets (the
+    #: reference-parity behavior). Measured necessity: with drop-only,
+    #: planted-pair recall decays with corpus size (0.9996 at 1.11M docs
+    #: -> 0.9935 at 4.44M at cap=32) because collision mass pushes true
+    #: groups' buckets over the cap; windowed hot pairing restores
+    #: size-stable recall at O(s*window) cost per hot bucket.
+    hot_window: int = 0
+    #: third tier above the hot-window band: buckets larger than this are
+    #: dropped even when hot_window > 0. A band value carried by >mega_cap
+    #: documents is a corpus stop-shingle (measured at 4.44M docs: ONE
+    #: band value holds 512,610 members) whose minhash match carries ~no
+    #: pair signal; window-pairing it would add W*mass useless candidates.
+    #: Tier masses measured at 4.44M docs, cap=32: quiet 16.5M / warm
+    #: (32..1024] 12.2M / mega (>1024) 2.6M band rows in 346 buckets.
+    mega_cap: int = 1024
     #: SimHash fallback for short docs (north_star): docs with fewer than
     #: this many tokens get extra candidate pairs from equal-SimHash buckets
     #: (MinHash over a handful of shingles is noisy). 0 disables.
@@ -177,8 +194,22 @@ class DedupConfig:
 REFERENCE_CONFIG = DedupConfig()
 
 
-#: production/bench scale config: KMV bottom-128 verification (recall on
-#: the planted corpus measured identical to exact at 3 significant digits;
-#: verify shuffle ~2.5x smaller). Oracle-parity queries keep
-#: REFERENCE_CONFIG (exact full-set Jaccard).
-SCALE_CONFIG = DedupConfig(verify_sketch_k=128)
+#: production/bench scale config, each knob validated by a measured
+#: recall/volume tradeoff on the planted corpus (BENCH/BASELINE.md):
+#:
+#: * ``verify_sketch_k=64`` — KMV bottom-64 verification: halves the
+#:   dominant (verify) shuffle vs k=128; estimator miss-probability at
+#:   the J=0.30 threshold is ~7e-4 per true pair, and measured 4.44M-doc
+#:   recall is 0.9997.
+#: * ``hot_window=4`` — sorted-neighborhood pairing inside hot buckets:
+#:   without it, recall DECAYS with corpus size (0.9996 at 1.11M docs ->
+#:   0.9935 at 4.44M at cap=32) because collision mass pushes true
+#:   groups' buckets over the cap; with it, 0.999993 at 1.11M and
+#:   0.999696 at 4.44M.
+#: * ``mega_cap=1024`` (dataclass default) — buckets above it are
+#:   stop-shingle bands and stay dropped.
+#:
+#: Oracle-parity queries keep REFERENCE_CONFIG (exact full-set Jaccard,
+#: drop-only cap); the hot-window operator has its own oracle-gated query
+#: (``dedup_candidate_pairs_hotwin``).
+SCALE_CONFIG = DedupConfig(verify_sketch_k=64, hot_window=4)

@@ -126,15 +126,7 @@ kept_bands AS (
     ON s.band_id = b.band_id AND s.band_hash = b.band_hash
   WHERE s.bucket_size >= 2 AND s.bucket_size <= {cfg.bucket_cap}
 ),
-cand_pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_matching_bands
-  FROM kept_bands a
-  JOIN kept_bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
-  {early_ratio}
-  GROUP BY 1, 2
-  HAVING count(*) >= {cfg.band_match_threshold}
-),
+{_cand_pairs_ctes(cfg, early_ratio)}
 verified AS (
   SELECT p.id_a, p.id_b, p.n_matching_bands, {n_eq} AS n_eq,
          {inter} AS inter, {un} AS un
@@ -156,6 +148,57 @@ reach(node, lbl) AS (
 clusters AS (
   SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY 1
 )"""
+
+
+def _cand_pairs_ctes(cfg: DedupConfig, early_ratio: str) -> str:
+    """``cand_pairs`` CTE(s). With ``hot_window > 0``, hot buckets
+    contribute sorted-neighborhood pairs instead of being dropped
+    (mirrors ``candidates.candidate_pairs_hotwindow``): a band bucket is
+    either quiet (<= cap, full pairing) or hot (> cap, window pairing),
+    so ``count(DISTINCT band_id)`` over the union of per-band emissions
+    equals the Spark side's quiet-sum + hot-distinct-count."""
+    quiet_emit = f"""
+  SELECT a.id AS id_a, b.id AS id_b, a.band_id
+  FROM kept_bands a
+  JOIN kept_bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+  {early_ratio}"""
+    if cfg.hot_window <= 0:
+        return f"""cand_pairs AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching_bands
+  FROM ({quiet_emit})
+  GROUP BY 1, 2
+  HAVING count(*) >= {cfg.band_match_threshold}
+),"""
+    hot_ratio = (
+        f"AND least(a.n_set, b.n_set) * 100 >= "
+        f"greatest(a.n_set, b.n_set) * {cfg.verify_jaccard_pct}"
+        if cfg.verify_mode == "jaccard"
+        else ""
+    )
+    return f"""hot_ranked AS (
+  SELECT b.id, b.band_id, b.band_hash, b.n_set,
+         CAST(row_number() OVER (PARTITION BY b.band_id, b.band_hash
+              ORDER BY b.n_set ASC, b.id ASC) AS BIGINT) AS r
+  FROM bands b JOIN bucket_sizes s
+    ON s.band_id = b.band_id AND s.band_hash = b.band_hash
+  WHERE s.bucket_size > {cfg.bucket_cap} AND s.bucket_size <= {cfg.mega_cap}
+),
+cand_emissions AS (
+  {quiet_emit}
+  UNION ALL
+  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b, a.band_id
+  FROM hot_ranked a JOIN hot_ranked b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND b.r > a.r AND b.r <= a.r + {cfg.hot_window}
+  {hot_ratio}
+),
+cand_pairs AS (
+  SELECT id_a, id_b, CAST(count(DISTINCT band_id) AS BIGINT) AS n_matching_bands
+  FROM cand_emissions
+  GROUP BY 1, 2
+  HAVING count(DISTINCT band_id) >= {cfg.band_match_threshold}
+),"""
 
 
 def stage_query(cfg: DedupConfig, select: str, id_col: str = "doc_id",

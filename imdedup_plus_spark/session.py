@@ -23,9 +23,12 @@ def get_spark(
       set to ~2-3x total cores by the submitter).
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    # shuffle spill dir: tmpfs when available — the verify stage shuffles
-    # tens of GB of shingle sets; on this box the disk (not the cores) was
-    # the measured bottleneck. A real cluster would use executor-local NVMe.
+    # shuffle spill dir: tmpfs when available — fast for the sub-GB
+    # shuffles of tests/bench at sf0.1. CAUTION: tmpfs is RAM; at corpus
+    # scale the verify shuffle (tens of GB) competes with the JVM heap and
+    # can OOM-kill the process — corpus-scale runs set
+    # SPARK_GRAFT_LOCAL_DIR to a disk path (bench.py does automatically).
+    # A real cluster uses executor-local NVMe for the same reason.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
@@ -43,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd shuffle blocks are ~40% smaller than lz4 on the packed
+        # shingle-set payload; the verify shuffle is the pipeline's
+        # dominant I/O (measured ~100 GB at 4.4M docs with k=128), so the
+        # codec choice is worth more than its CPU cost at every scale
+        .config("spark.io.compression.codec", "zstd")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -76,3 +76,54 @@ def test_verify_kernel_matches_sql(spark, fixture_corpus):
     )
     assert sql_rows == ker_rows
     cand.unpersist(); sig_sql.unpersist(); sig_bin.unpersist()
+
+
+def test_hotwindow_equals_salted_when_no_hot_buckets(spark, fixture_corpus):
+    """With a cap no bucket reaches, window pairing adds nothing — output
+    must equal the plain salted pairing row-for-row."""
+    import dataclasses
+
+    from imdedup_plus_spark import signatures as S
+    from imdedup_plus_spark.config import DedupConfig
+
+    cfg = DedupConfig(bucket_cap=10**6, hot_window=8)
+    docs = fixture_corpus.select("url", "text")
+    bands = S.explode_bands(S.signature_kernel_arrow(docs, cfg, "url"), cfg, "url")
+    hw = sorted(tuple(r) for r in C.candidate_pairs_hotwindow(bands, cfg, "url").collect())
+    plain = sorted(
+        tuple(r)
+        for r in C.candidate_pairs_salted(
+            bands, dataclasses.replace(cfg, hot_window=0), "url"
+        ).collect()
+    )
+    assert hw == plain
+
+
+def test_hotwindow_recovers_groups_in_hot_buckets(spark, fixture_corpus):
+    """With an artificially tiny cap most buckets go hot; drop-only loses
+    planted pairs while window pairing keeps cluster recall ~1."""
+    from imdedup_plus_spark import clustering as CL, fixtures as FX, signatures as S
+    from imdedup_plus_spark.config import DedupConfig
+    from pyspark.sql import functions as F
+
+    exp = FX.expected_dup_pairs(fixture_corpus)
+    n_exp = exp.count()
+    docs = fixture_corpus.select("url", "text")
+
+    def recall(cfg):
+        sig = S.signature_kernel_arrow(docs, cfg, "url").persist()
+        ver = C.verify_pairs_kernel(
+            C.candidate_pairs(S.explode_bands(sig, cfg, "url"), cfg, "url"),
+            sig, cfg, "url",
+        )
+        cl = CL.clusters_from_pairs(sig, ver, "url")
+        ca = cl.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("ca"))
+        cb = cl.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("cb"))
+        hit = exp.join(ca, "url_a").join(cb, "url_b").where("ca = cb").count()
+        sig.unpersist()
+        return hit / n_exp
+
+    drop_only = recall(DedupConfig(bucket_cap=4))
+    windowed = recall(DedupConfig(bucket_cap=4, hot_window=4))
+    assert windowed >= drop_only
+    assert windowed >= 0.99, f"windowed recall {windowed} (drop-only {drop_only})"

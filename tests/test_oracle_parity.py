@@ -28,6 +28,7 @@ KEYS = [
     "orders_rollup_revenue",
     "text_bpe_tokens",
     "events_orders_asof",
+    "dedup_candidate_pairs_hotwin",
 ]
 
 
