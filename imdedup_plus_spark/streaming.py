@@ -53,6 +53,14 @@ def candidate_pairs_probe(
     *at probe time* (the reference's featureT probe likewise sees state
     as of arrival); the early size-ratio prune is identical to the batch
     path (``candidates.candidate_pairs_direct``).
+
+    Scale note: the batch path's hot-bucket window tier
+    (``candidate_pairs_hotwindow``) is not applied here yet — in the
+    incremental setting the natural analog is pairing each new member of
+    a hot bucket against its W sorted *neighbors in the accumulated
+    bucket* (a rank-range probe against the band store, still O(W) per
+    arrival). Until then, incremental recall inherits the drop-only cap
+    semantics per micro-batch.
     """
     has_set = "n_set" in bands_all.columns and cfg.verify_mode == "jaccard"
     sizes = bands_all.groupBy("band_id", "band_hash").agg(
