@@ -54,13 +54,15 @@ def candidate_pairs_probe(
     as of arrival); the early size-ratio prune is identical to the batch
     path (``candidates.candidate_pairs_direct``).
 
-    Scale note: the batch path's hot-bucket window tier
-    (``candidate_pairs_hotwindow``) is not applied here yet — in the
-    incremental setting the natural analog is pairing each new member of
-    a hot bucket against its W sorted *neighbors in the accumulated
-    bucket* (a rank-range probe against the band store, still O(W) per
-    arrival). Until then, incremental recall inherits the drop-only cap
-    semantics per micro-batch.
+    With ``cfg.hot_window > 0`` the batch path's warm tier applies
+    incrementally too: members of warm buckets (cap < size <= mega_cap)
+    are ranked by ``(n_set, id)`` over the *accumulated* bucket and pairs
+    within ``hot_window`` ranks are emitted when at least one member is
+    new. The emitted pair set differs from a one-shot batch run (rank
+    adjacency is evaluated at arrival time, not at end state) but has the
+    same recall property — group members keep near-equal set sizes at
+    every prefix of the stream; tests/test_streaming.py checks planted
+    recall through the incremental path.
     """
     has_set = "n_set" in bands_all.columns and cfg.verify_mode == "jaccard"
     sizes = bands_all.groupBy("band_id", "band_hash").agg(
@@ -84,13 +86,66 @@ def candidate_pairs_probe(
                 f"greatest(a.n_set, b.n_set) * {cfg.verify_jaccard_pct}"
             )
         )
-    return (
-        pairs0.select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            "band_id",
+    emissions = pairs0.select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        "band_id",
+    )
+
+    if cfg.hot_window > 0 and has_set:
+        from pyspark.sql import Window
+
+        warm_keys = sizes.where(
+            (F.col("bucket_size") > cfg.bucket_cap)
+            & (F.col("bucket_size") <= cfg.mega_cap)
+        ).select("band_id", "band_hash", "bucket_size")
+        warm = bands_all.join(warm_keys, ["band_id", "band_hash"]).select(
+            id_col, "band_id", "band_hash", "n_set", "bucket_size"
         )
-        .groupBy("id_a", "id_b")
+        new_ids = bands_new.select(F.col(id_col).alias("__new_id__")).distinct()
+        warm = warm.join(
+            new_ids, warm[id_col] == new_ids["__new_id__"], "left"
+        ).withColumn("is_new", F.col("__new_id__").isNotNull()).drop("__new_id__")
+        rw = Window.partitionBy("band_id", "band_hash").orderBy(
+            F.col("n_set").asc(), F.col(id_col).asc()
+        )
+        ranked = warm.withColumn("r", F.row_number().over(rw))
+        # sequence(start, stop) DESCENDS when stop < start — guard the last rank
+        wa = ranked.where(F.col("r") < F.col("bucket_size")).select(
+            F.col(id_col).alias("ida"), "band_id", "band_hash",
+            F.col("n_set").alias("n_set_a"), F.col("is_new").alias("new_a"),
+            F.explode(
+                F.sequence(
+                    F.col("r") + 1,
+                    F.least(F.col("r") + cfg.hot_window, F.col("bucket_size")),
+                )
+            ).alias("rp"),
+        )
+        wb = ranked.select(
+            F.col(id_col).alias("idb"), "band_id", "band_hash",
+            F.col("n_set").alias("n_set_b"), F.col("is_new").alias("new_b"),
+            F.col("r").alias("rp"),
+        )
+        warm_pairs = wa.join(wb, ["band_id", "band_hash", "rp"]).where(
+            F.col("new_a") | F.col("new_b")
+        )
+        if cfg.verify_mode == "jaccard":
+            warm_pairs = warm_pairs.where(
+                F.expr(
+                    "least(n_set_a, n_set_b) * 100 >= "
+                    f"greatest(n_set_a, n_set_b) * {cfg.verify_jaccard_pct}"
+                )
+            )
+        emissions = emissions.unionByName(
+            warm_pairs.select(
+                F.least(F.col("ida"), F.col("idb")).alias("id_a"),
+                F.greatest(F.col("ida"), F.col("idb")).alias("id_b"),
+                "band_id",
+            )
+        )
+
+    return (
+        emissions.groupBy("id_a", "id_b")
         .agg(F.countDistinct("band_id").cast("long").alias("n_matching_bands"))
         .where(F.col("n_matching_bands") >= cfg.band_match_threshold)
     )

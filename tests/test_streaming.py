@@ -119,3 +119,25 @@ def test_windowed_event_counts_append_stream(spark, tmp_path):
     for r in emitted:
         key = (r["window_start"], r["window_end"], r["event_type"])
         assert batch[key] == r["n_events"]
+
+
+def test_incremental_hotwindow_recall(spark, fixture_corpus, tmp_path):
+    """With a tiny cap most buckets go hot; the incremental warm-tier
+    probe must keep planted recall where drop-only would lose pairs."""
+    from imdedup_plus_spark import clustering as CL, fixtures as FX
+
+    cfg = DedupConfig(bucket_cap=4, hot_window=4, mega_cap=10**6)
+    docs, h1, h2 = _halves(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, cfg, "url")
+    ST.incremental_dedup_batch(h2, state, cfg, "url")
+    pairs = ST.read_pairs(spark, state)
+
+    sig = S.signature_kernel_arrow(docs, cfg, "url")
+    cl = CL.clusters_from_pairs(sig, pairs, "url")
+    exp = FX.expected_dup_pairs(fixture_corpus)
+    n_exp = exp.count()
+    ca = cl.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("ca"))
+    cb = cl.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("cb"))
+    hit = exp.join(ca, "url_a").join(cb, "url_b").where("ca = cb").count()
+    assert hit / n_exp >= 0.99, f"incremental hot-window recall {hit}/{n_exp}"
