@@ -4,9 +4,10 @@
 ``queries()`` exposes every implemented operator (SURVEY.md §2) as a
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
 SQL that replays the identical arithmetic (see imdedup_plus_spark/oracle.py
-for the bit-exactness argument). Spans/span-summary are genuinely
-non-SQL-expressible (greedy LCS kernel) and ship without an oracle
-(rows-only check), as the contract allows.
+for the bit-exactness argument). The span/restore lane — a sequential
+greedy kernel — is oracled by a recursive-CTE replay (oracle.span_ctes):
+one recursion step per scan position, instruction-exact, so every query
+in the suite has a value-hash oracle.
 """
 
 from __future__ import annotations
@@ -147,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _verified(spark, sf), CFG.n_perm
     )
 
-    # --- stage 2: spans (#10/#11; no SQL oracle - LCS kernel) ---
+    # --- stage 2: spans (#10/#11; oracled by recursive-CTE replay) ---
     def _spans(spark, sf):
         docs = _docs(spark, sf)
         best = C.best_base(_verified(spark, sf))
@@ -213,14 +214,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- SimHash near-dup lane: banded hamming-<=3 pairing ---
     q["dedup_simhash_pairs"] = lambda spark, sf: T.simhash_pairs_kernel(_docs(spark, sf), ID)
 
-    # --- embedding-cosine near-dup lane ---
-    q["dedup_embedding_cosine"] = lambda spark, sf: ann.cosine_neardup_pairs_kernel(_emb(spark, sf))
+    # --- embedding-cosine near-dup lane (blocked distributed kernel: no
+    #     driver collect; O(n^2) exact baseline behind a size guard) ---
+    q["dedup_embedding_cosine"] = lambda spark, sf: ann.cosine_neardup_pairs_blocked(_emb(spark, sf))
 
     # --- multimodal binary-column lane (metadata over UTF-8 payload) ---
     q["mm_binary_metadata"] = lambda spark, sf: MM.text_binary_metadata(_docs(spark, sf), ID)
 
     # --- similarity search over embeddings ---
-    q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk_kernel(_emb(spark, sf))
+    q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk_blocked(_emb(spark, sf))
     q["emb_lsh_ann_topk"] = lambda spark, sf: ann.lsh_ann_topk(_emb(spark, sf))
     # IVF-flat lane: deterministic coarse quantizer -> inverted lists ->
     # nprobe probing (third ANN lane; see ann.ivf_ann_topk docstring)
@@ -504,7 +506,21 @@ FROM (
   FROM orders o LEFT JOIN events e
     ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1""",
+        # --- span lane: recursive-CTE replay of the greedy matcher (see
+        #     oracle.span_ctes) — instruction-exact, so the whole suite is
+        #     oracle-green including the delta/restore stages ---
+        "dedup_spans": oracle.span_stage_query(
+            CFG,
+            "SELECT id_a, id_b, instr_id, kind, a_off, b_off, length, payload "
+            "FROM sp_spans",
+            id_col=ID,
+        ),
+        "dedup_span_summary": oracle.span_stage_query(
+            CFG, oracle.SPAN_SUMMARY_SELECT, id_col=ID
+        ),
+        "dedup_ratio": oracle.span_stage_query(
+            CFG, oracle.DEDUP_RATIO_SELECT, id_col=ID
+        ),
+        "dedup_roundtrip_check": oracle.roundtrip_check_sql(CFG, id_col=ID),
     }
-    # dedup_spans / dedup_span_summary intentionally have no oracle: the
-    # greedy LCS kernel is not SQL-expressible (driver records rows-only).
     return o

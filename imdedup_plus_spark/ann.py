@@ -402,20 +402,229 @@ WHERE a.vec_id < b.vec_id
   AND {cos} >= {threshold_permille} / 1000.0"""
 
 
+# ---------------------------------------------------------------------------
+# Distributed brute-force lanes: blocked matrix kernels (no driver collect)
+# ---------------------------------------------------------------------------
+
+#: rows per block in the blocked cosine kernels — 1024 x 64 doubles = 512 KB
+#: per block side, so a block-pair task works on ~1 MB of vector data and a
+#: 1024^2 cosine matrix (8 MB), comfortably in-executor
+COSINE_BLOCK_ROWS = 1024
+#: hard guard for the shipped brute-force queries: O(n^2) compute is BY
+#: CONTRACT (the exact baseline that oracles the approximate lanes), but
+#: above this row count the right lane is lsh_ann_topk / ivf_ann_topk
+COSINE_BRUTE_FORCE_MAX_ROWS = 200_000
+
+
+def _blocked_vectors(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int,
+    block_rows: int, max_rows: int,
+) -> DataFrame:
+    """One row per block: (blk, ids, nrms, flat) with ids ascending and
+    ``flat`` the row-major concatenation of the block's vectors.
+
+    The count() is a single driver scalar (not a data collect) used to fix
+    the block count; block membership is a deterministic id hash, so the
+    result set is independent of the blocking.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "nrm", F.expr(_norm_expr(vec_col, dim))
+    )
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force cosine over {n} rows exceeds the guard "
+            f"({max_rows}): O(n^2) compute is the exact-baseline contract; "
+            "use lsh_ann_topk / ivf_ann_topk at this scale"
+        )
+    n_blocks = max(1, -(-n // block_rows))
+    b = e.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    rows = b.groupBy("blk").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"),
+                    F.col("nrm").alias("nr"),
+                )
+            )
+        ).alias("rows")
+    )
+    return rows.select(
+        "blk",
+        F.expr("transform(rows, r -> r.id)").alias("ids"),
+        F.expr("transform(rows, r -> r.nr)").alias("nrms"),
+        F.expr("flatten(transform(rows, r -> r.v))").alias("flat"),
+    )
+
+
+def _block_pair_frames(bp_pdf, dim: int):
+    """Decode one Arrow batch of block-pair rows into numpy and yield
+    (ids_a, nrm_a, Va, ids_b, nrm_b, Vb, cos) per row — cos computed with
+    the SAME ordered left fold over dims as the SQL ``aggregate`` (acc +=
+    a_i * b_i, i ascending; vectorized across pairs, order per pair
+    unchanged), then round(..., 6): bit-identical to the oracle."""
+    import numpy as np
+
+    for ids_a, nrms_a, flat_a, ids_b, nrms_b, flat_b in zip(
+        bp_pdf["ids_a"].values, bp_pdf["nrms_a"].values, bp_pdf["flat_a"].values,
+        bp_pdf["ids_b"].values, bp_pdf["nrms_b"].values, bp_pdf["flat_b"].values,
+    ):
+        ia = np.asarray(ids_a)
+        ib = np.asarray(ids_b)
+        na = np.asarray(nrms_a, dtype=np.float64)
+        nb = np.asarray(nrms_b, dtype=np.float64)
+        Va = np.asarray(flat_a, dtype=np.float64).reshape(len(ia), dim)
+        Vb = np.asarray(flat_b, dtype=np.float64).reshape(len(ib), dim)
+        acc = np.zeros((len(ia), len(ib)), dtype=np.float64)
+        for d in range(dim):
+            acc += Va[:, d][:, None] * Vb[:, d][None, :]
+        cos = np.round(acc / (na[:, None] * nb[None, :]), 6)
+        yield ia, na, Va, ib, nb, Vb, cos
+
+
+def cosine_topk_blocked(
+    emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = DIM, block_rows: int = COSINE_BLOCK_ROWS,
+    max_rows: int = COSINE_BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """Distributed brute-force top-k — identical values to ``cosine_topk``
+    (same fold order, tested), no driver-side data collect.
+
+    Plan: block the vectors (ceil(n/block_rows) groups), cross-join the
+    block rows (upper triangle only — each block-pair task scores BOTH
+    directions from one matmul), emit per-direction local top-k inside the
+    kernel, then one global window re-ranks the k * n_blocks candidates
+    per query. Compute is O(n^2 / block^2) vectorized matmul tasks spread
+    over the cluster; no single node ever holds more than two blocks.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    blocks = _blocked_vectors(emb, id_col, vec_col, dim, block_rows, max_rows)
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("nrms").alias("nrms_a"), F.col("flat").alias("flat_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("nrms").alias("nrms_b"), F.col("flat").alias("flat_b"),
+    )
+    bp = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_v, out_n, out_c = [], [], []
+
+            def emit_topk(q_ids, c_ids, mat, same):
+                for r in range(mat.shape[0]):
+                    row = mat[r]
+                    if same:
+                        mask = c_ids != q_ids[r]
+                        cand_ids, cand_cos = c_ids[mask], row[mask]
+                    else:
+                        cand_ids, cand_cos = c_ids, row
+                    # SQL order: cosine DESC, neighbor_id ASC
+                    sel = np.lexsort((cand_ids, -cand_cos))[:k]
+                    out_v.extend([q_ids[r]] * len(sel))
+                    out_n.extend(cand_ids[sel])
+                    out_c.extend(cand_cos[sel])
+
+            for ia, _, _, ib, _, _, cos in _block_pair_frames(pdf, dim):
+                same = len(ia) == len(ib) and bool(np.array_equal(ia, ib))
+                emit_topk(ia, ib, cos, same)
+                if not same:
+                    emit_topk(ib, ia, cos.T, same)
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n,
+                 "cosine": pd.array(out_c, dtype="float64")}
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cand = bp.mapInPandas(
+        fn, schema=f"vec_id {id_type}, neighbor_id {id_type}, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def cosine_neardup_pairs_blocked(
+    emb: DataFrame, threshold_permille: int = NEARDUP_COSINE_PERMILLE,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
+    block_rows: int = COSINE_BLOCK_ROWS,
+    max_rows: int = COSINE_BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """Distributed twin of ``cosine_neardup_pairs`` (identical values, no
+    driver collect): upper-triangle block pairs, threshold filter
+    in-kernel, each unordered pair emitted exactly once (ids within a
+    block are sorted, so the diagonal block keeps the strict upper
+    triangle; off-diagonal pairs orient by least/greatest)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    thr = threshold_permille / 1000.0
+    blocks = _blocked_vectors(emb, id_col, vec_col, dim, block_rows, max_rows)
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("nrms").alias("nrms_a"), F.col("flat").alias("flat_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("nrms").alias("nrms_b"), F.col("flat").alias("flat_b"),
+    )
+    bp = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ia, _, _, ib, _, _, cos in _block_pair_frames(pdf, dim):
+                same = len(ia) == len(ib) and bool(np.array_equal(ia, ib))
+                keep = cos >= thr
+                if same:
+                    keep &= np.triu(np.ones_like(keep, dtype=bool), k=1)
+                r_idx, c_idx = np.nonzero(keep)
+                lo = np.minimum(ia[r_idx], ib[c_idx])
+                hi = np.maximum(ia[r_idx], ib[c_idx])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_c.extend(cos[r_idx, c_idx])
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b,
+                 "cosine": pd.array(out_c, dtype="float64")}
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return bp.mapInPandas(
+        fn, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
 def cosine_topk_kernel(
     emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = DIM,
 ) -> DataFrame:
-    """Kernel twin of ``cosine_topk`` — identical values (tested).
+    """TEST-ONLY oracle kernel (driver-side collect + broadcast): kept for
+    parity tests against the SQL form and the blocked distributed kernel.
+    The shipped contract queries route through ``cosine_topk_blocked`` —
+    this one dies at scale by construction (driver materializes the
+    matrix) and must not be in a query path.
 
-    The brute-force baseline is O(n^2) BY CONTRACT (it exists to oracle
-    ``lsh_ann_topk``; at scale use the LSH path), so the full vector
-    matrix fits comfortably in a broadcast (n x dim doubles). Each Arrow
-    batch scores its rows against the broadcast matrix with the SAME
-    per-pair left-fold order as the SQL ``aggregate`` (acc += a_i * b_i,
-    i ascending — vectorized across pairs, order per pair unchanged), so
-    doubles are bit-identical; top-k selection happens in-kernel, so only
-    n*k rows ever cross the Arrow boundary instead of n^2.
+    Each Arrow batch scores its rows against the broadcast matrix with the
+    SAME per-pair left-fold order as the SQL ``aggregate`` (acc += a_i *
+    b_i, i ascending — vectorized across pairs, order per pair unchanged),
+    so doubles are bit-identical; top-k selection happens in-kernel.
     """
     import numpy as np
     import pandas as pd
@@ -476,9 +685,10 @@ def cosine_neardup_pairs_kernel(
     emb: DataFrame, threshold_permille: int = NEARDUP_COSINE_PERMILLE,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = DIM,
 ) -> DataFrame:
-    """Kernel twin of ``cosine_neardup_pairs`` (identical values) — same
-    broadcast-matrix block scoring as ``cosine_topk_kernel``; only the
-    above-threshold pairs cross the Arrow boundary."""
+    """TEST-ONLY oracle kernel (driver-side collect + broadcast) — same
+    caveat as ``cosine_topk_kernel``; the shipped query routes through
+    ``cosine_neardup_pairs_blocked``. Only the above-threshold pairs cross
+    the Arrow boundary."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator

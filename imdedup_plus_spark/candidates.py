@@ -51,7 +51,15 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, id_col: str) -> DataFram
     dropped (``candidate_pairs_hotwindow`` — the corpus-size-stable
     recall path).
     """
-    if cfg.hot_window > 0 and "n_set" in bands.columns:
+    if cfg.hot_window > 0:
+        if "n_set" not in bands.columns:
+            # a silent fall-through to drop-only capping would quietly lose
+            # SCALE_CONFIG's size-stable-recall guarantee — fail loudly
+            raise ValueError(
+                "cfg.hot_window > 0 requires bands with an n_set column "
+                "(use the kernel signature path / explode_bands); refusing "
+                "to silently fall back to drop-only capping"
+            )
         return candidate_pairs_hotwindow(bands, cfg, id_col)
     return candidate_pairs_salted(
         bands, cfg, id_col, split_threshold=cfg.pair_split_threshold
@@ -488,20 +496,70 @@ def short_doc_pairs(
     distributions). Output shape matches ``candidate_pairs`` with
     ``n_matching_bands = 0`` (these pairs bypassed the band vote); they are
     verified by the same exact-Jaccard check downstream.
+
+    Hot-bucket defense (same treatment as the band join): one popular short
+    page (empty-ish boilerplate sharing a SimHash) would otherwise explode
+    the self-join quadratically. Buckets up to ``cfg.bucket_cap`` pair fully
+    through the salted g x g grid; larger buckets chain by id-sorted
+    neighborhood windows (``max(1, cfg.hot_window)`` successors per member)
+    — every member of an equal-SimHash bucket has the same token
+    distribution, so the chain keeps the whole bucket connected for
+    connected-components while the pair count stays O(s * window) instead
+    of s^2.
     """
     from .textfns import simhash
 
     if cfg.short_doc_tokens <= 0:
         raise ValueError("short_doc_tokens must be > 0 to use the fallback")
     short = valid_docs.where(F.size("tokens") < cfg.short_doc_tokens)
-    sh = simhash(short, id_col, text_col)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash"))
-    return (
-        a.join(b, "simhash")
+    sh = simhash(short, id_col, text_col).select(F.col(id_col), F.col("simhash"))
+
+    w = Window.partitionBy("simhash")
+    sized = sh.withColumn("bucket_size", F.count(F.col(id_col)).over(w))
+
+    # quiet tier: full pairing via the salted grid (identical pair set to a
+    # plain self-join; bounded task size — see candidate_pairs_salted)
+    quiet = sized.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
+    )
+    g = F.greatest(
+        F.lit(1), F.ceil(F.col("bucket_size") / cfg.pair_split_threshold)
+    ).cast("int")
+    salted = quiet.withColumn("g", g).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("g")).cast("int")
+    )
+    a = salted.select(
+        F.col(id_col).alias("id_a"), "simhash", F.col("salt").alias("ta"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("tb"),
+    )
+    b = salted.select(
+        F.col(id_col).alias("id_b"), "simhash", F.col("salt").alias("tb"),
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("ta"),
+    )
+    quiet_pairs = (
+        a.join(b, ["simhash", "ta", "tb"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("long").alias("n_matching_bands"))
+        .select("id_a", "id_b")
+    )
+
+    # hot tier: id-sorted neighborhood chain (window pairing)
+    win = max(1, cfg.hot_window)
+    hot = sized.where(F.col("bucket_size") > cfg.bucket_cap)
+    rw = Window.partitionBy("simhash").orderBy(F.col(id_col).asc())
+    ranked = hot.withColumn("r", F.row_number().over(rw))
+    ha = ranked.where(F.col("r") < F.col("bucket_size")).select(
+        F.col(id_col).alias("id_a"), "simhash",
+        F.explode(
+            F.sequence(F.col("r") + 1, F.least(F.col("r") + win, F.col("bucket_size")))
+        ).alias("rp"),
+    )
+    hb = ranked.select(F.col(id_col).alias("id_b"), "simhash", F.col("r").alias("rp"))
+    hot_pairs = ha.join(hb, ["simhash", "rp"]).select("id_a", "id_b")
+
+    return (
+        quiet_pairs.unionByName(hot_pairs)
         .distinct()
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("n_matching_bands"))
     )
 
 

@@ -204,3 +204,199 @@ cand_pairs AS (
 def stage_query(cfg: DedupConfig, select: str, id_col: str = "doc_id",
                 table: str = "documents") -> str:
     return f"WITH RECURSIVE {pipeline_ctes(cfg, id_col, table)}\n{select}"
+
+
+# ---------------------------------------------------------------------------
+# Span-lane oracle: recursive-CTE replay of the greedy matcher
+# ---------------------------------------------------------------------------
+
+#: raw (case-preserving) tokenization — the Python kernel uses str.split()
+#: (imdedup_plus_spark/spans.py extract_spans); for ASCII whitespace this is
+#: exactly split-on-\s+ with empties dropped
+_RAW_TOK = "list_filter(string_split_regex({c}, '\\s+'), t -> t != '')"
+
+
+def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
+              table: str = "documents") -> str:
+    """CTE chain replaying ``spans.greedy_spans`` + ``spans.extract_spans``
+    (the non-SQL-expressible-looking kernel) as a DuckDB **recursive CTE**:
+
+    * one recursion step per scan position of the greedy matcher
+      (``spans.py greedy_spans``: probe the base for the current target
+      token, extend the longest match, emit COPY and jump, else advance by
+      one) — the working table holds one state row per (base, target) pair,
+      so recursion depth = max target token count (docs are bounded;
+      sf0.01 max is 99 tokens);
+    * candidate base positions = first ``MAX_POSITIONS_PER_TOKEN`` in base
+      order (the kernel's per-token index cap); tie on extension length ->
+      smallest base offset (the kernel keeps the first maximum);
+    * INSERT instructions are derived afterwards as the complement of the
+      COPY spans over [0, len(B)) — instruction order is strictly
+      increasing ``b_off``, so ``row_number() - 1`` reproduces ``instr_id``;
+    * OMIT_LOW_DELTA: same float comparison as the kernel
+      (``matched / len(B) < omit``).
+
+    ``pair_sel`` must yield ``(sp_base, sp_target)`` — parameterized so the
+    best-base pairs (dedup_spans) and the cluster-representative pairs
+    (dedup_roundtrip_check) share the machinery.
+
+    Bit-exactness argument: all values are integers and strings; the only
+    float op is the OMIT ratio, computed with the identical IEEE-754 double
+    division on both sides. Verified instruction-for-instruction against
+    the Python kernel (tests/test_oracle_parity.py).
+    """
+    from .spans import MAX_POSITIONS_PER_TOKEN, MIN_COPY_LEN
+
+    min_copy, max_pos, omit = MIN_COPY_LEN, MAX_POSITIONS_PER_TOKEN, cfg.omit_low_delta
+    cand = (
+        "list_filter(generate_series(0, len(p.A) - 1), "
+        f"q -> p.A[q + 1] = p.B[s.i + 1])[1 : {max_pos}]"
+    )
+    ext = (
+        "coalesce(list_min(list_transform("
+        "generate_series(1, least(len(p.A) - {P}, len(p.B) - s.i)), "
+        "j -> CASE WHEN p.A[{P} + j] = p.B[s.i + j] THEN NULL ELSE j END)) - 1, "
+        "least(len(p.A) - {P}, len(p.B) - s.i))"
+    )
+    best_l = f"list_max(list_transform({cand}, q -> {ext.format(P='q')}))"
+    best_a = f"list_filter({cand}, q -> {ext.format(P='q')} = ({best_l}))[1]"
+    tok_a = _RAW_TOK.format(c="da.text")
+    tok_b = _RAW_TOK.format(c="db.text")
+    return f"""
+span_pairs AS ({pair_sel}),
+sp_toks AS MATERIALIZED (
+  SELECT sp.sp_base AS id_a, sp.sp_target AS id_b,
+         {tok_a} AS A, {tok_b} AS B
+  FROM span_pairs sp
+  JOIN {table} da ON da.{id_col} = sp.sp_base
+  JOIN {table} db ON db.{id_col} = sp.sp_target
+),
+sp_steps AS (
+  SELECT id_a, id_b, 0 AS i,
+         CAST(NULL AS INT) AS c_a, CAST(NULL AS INT) AS c_b, CAST(NULL AS INT) AS c_l
+  FROM sp_toks WHERE len(B) > 0
+  UNION ALL
+  SELECT s.id_a, s.id_b,
+         CASE WHEN coalesce(({best_l}), 0) >= {min_copy} THEN s.i + ({best_l}) ELSE s.i + 1 END,
+         CASE WHEN coalesce(({best_l}), 0) >= {min_copy} THEN ({best_a}) END,
+         CASE WHEN coalesce(({best_l}), 0) >= {min_copy} THEN s.i END,
+         CASE WHEN coalesce(({best_l}), 0) >= {min_copy} THEN ({best_l}) END
+  FROM sp_steps s JOIN sp_toks p ON p.id_a = s.id_a AND p.id_b = s.id_b
+  WHERE s.i < len(p.B)
+),
+sp_copies AS MATERIALIZED (
+  SELECT id_a, id_b, c_a AS a_off, c_b AS b_off, c_l AS length
+  FROM sp_steps WHERE c_l IS NOT NULL
+),
+sp_gap_before AS (
+  SELECT id_a, id_b,
+         lag(b_off + length, 1, 0) OVER (PARTITION BY id_a, id_b ORDER BY b_off) AS gb_off,
+         b_off AS gb_end
+  FROM sp_copies
+),
+sp_max_end AS (
+  SELECT id_a, id_b, max(b_off + length) AS max_end FROM sp_copies GROUP BY 1, 2
+),
+sp_inserts AS (
+  SELECT id_a, id_b, gb_off AS b_off, gb_end - gb_off AS length
+  FROM sp_gap_before WHERE gb_end > gb_off
+  UNION ALL
+  SELECT p.id_a, p.id_b, coalesce(m.max_end, 0) AS b_off,
+         len(p.B) - coalesce(m.max_end, 0) AS length
+  FROM sp_toks p LEFT JOIN sp_max_end m ON m.id_a = p.id_a AND m.id_b = p.id_b
+  WHERE len(p.B) > coalesce(m.max_end, 0) AND len(p.B) > 0
+),
+sp_instrs0 AS MATERIALIZED (
+  SELECT id_a, id_b, 'COPY' AS kind, a_off, b_off, length, CAST(NULL AS VARCHAR) AS payload
+  FROM sp_copies
+  UNION ALL
+  SELECT i.id_a, i.id_b, 'INSERT', -1, i.b_off, i.length,
+         array_to_string(p.B[i.b_off + 1 : i.b_off + i.length], ' ')
+  FROM sp_inserts i JOIN sp_toks p ON p.id_a = i.id_a AND p.id_b = i.id_b
+),
+sp_matched AS (
+  SELECT p.id_a, p.id_b, len(p.B) AS nb,
+         coalesce(sum(CASE WHEN x.kind = 'COPY' THEN x.length END), 0) AS matched
+  FROM sp_toks p LEFT JOIN sp_instrs0 x ON x.id_a = p.id_a AND x.id_b = p.id_b
+  WHERE len(p.B) > 0
+  GROUP BY 1, 2, 3
+),
+sp_low AS (
+  SELECT id_a, id_b, nb FROM sp_matched WHERE CAST(matched AS DOUBLE) / nb < {omit}
+),
+sp_spans AS MATERIALIZED (
+  SELECT id_a, id_b,
+         CAST(row_number() OVER (PARTITION BY id_a, id_b ORDER BY b_off) - 1 AS INT) AS instr_id,
+         kind, CAST(a_off AS INT) AS a_off, CAST(b_off AS INT) AS b_off,
+         CAST(length AS INT) AS length, payload
+  FROM (
+    SELECT i.* FROM sp_instrs0 i ANTI JOIN sp_low l ON l.id_a = i.id_a AND l.id_b = i.id_b
+    UNION ALL
+    SELECT l.id_a, l.id_b, 'INSERT', -1, 0, l.nb, array_to_string(p.B, ' ')
+    FROM sp_low l JOIN sp_toks p ON p.id_a = l.id_a AND p.id_b = l.id_b
+  )
+)"""
+
+
+#: best-base pair selection (mirrors candidates.best_base over verified)
+BEST_BASE_PAIR_SEL = """
+  SELECT id_a AS sp_base, id_b AS sp_target FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+        ORDER BY n_matching_bands DESC, n_eq DESC, id_a ASC) AS rn
+    FROM verified) WHERE rn = 1
+"""
+
+#: cluster-representative pair selection (mirrors spans.pair_texts_from_clusters)
+CLUSTER_PAIR_SEL = """
+  SELECT cluster_id AS sp_base, id AS sp_target FROM clusters WHERE id != cluster_id
+"""
+
+
+def span_stage_query(cfg: DedupConfig, select: str, pair_sel: str = BEST_BASE_PAIR_SEL,
+                     id_col: str = "doc_id", table: str = "documents") -> str:
+    return (
+        f"WITH RECURSIVE {pipeline_ctes(cfg, id_col, table)},"
+        f"{span_ctes(cfg, pair_sel, id_col, table)}\n{select}"
+    )
+
+
+def roundtrip_check_sql(cfg: DedupConfig, id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """CHECK_DECOMPRESS analog (``/root/reference/jpeg.c:583-603``): rebuild
+    every cluster member from its representative + instruction stream and
+    byte-compare against the original text."""
+    recon = """
+  SELECT s.id_b, string_agg(
+    CASE WHEN s.kind = 'COPY'
+         THEN array_to_string(p.A[s.a_off + 1 : s.a_off + s.length], ' ')
+         ELSE s.payload END, ' ' ORDER BY s.instr_id) AS reconstructed_text
+  FROM sp_spans s JOIN sp_toks p ON p.id_a = s.id_a AND p.id_b = s.id_b
+  GROUP BY 1
+"""
+    return span_stage_query(
+        cfg,
+        f"SELECT r.id_b AS target_id, (r.reconstructed_text = d.text) AS byte_identical\n"
+        f"FROM ({recon}) r JOIN {table} d ON d.{id_col} = r.id_b",
+        pair_sel=CLUSTER_PAIR_SEL,
+        id_col=id_col,
+        table=table,
+    )
+
+
+SPAN_SUMMARY_SELECT = """
+SELECT id_a, id_b,
+  CAST(sum(CASE WHEN kind = 'COPY' THEN length ELSE 0 END) AS BIGINT) AS copied_tokens,
+  CAST(sum(CASE WHEN kind = 'INSERT' THEN length ELSE 0 END) AS BIGINT) AS inserted_tokens,
+  CAST(count(*) AS BIGINT) AS n_instructions,
+  round(sum(CASE WHEN kind = 'COPY' THEN length ELSE 0 END)
+        / (sum(CASE WHEN kind = 'COPY' THEN length ELSE 0 END)
+           + sum(CASE WHEN kind = 'INSERT' THEN length ELSE 0 END)), 6) AS matched_fraction
+FROM sp_spans GROUP BY 1, 2"""
+
+
+DEDUP_RATIO_SELECT = f"""
+SELECT CAST(sum(copied_tokens) AS BIGINT) AS copied_tokens,
+       CAST(sum(inserted_tokens) AS BIGINT) AS inserted_tokens,
+       round(sum(copied_tokens) / (sum(copied_tokens) + sum(inserted_tokens)), 6)
+         AS dedup_fraction
+FROM ({SPAN_SUMMARY_SELECT})"""

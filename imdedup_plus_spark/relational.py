@@ -39,41 +39,54 @@ def asof_join(
 
     Semantics are inclusive (``right_ts == left_ts`` matches), mirroring
     ANSI ``ASOF JOIN ... ON r.ts <= l.ts``.
+
+    The matched right row is carried as ONE struct (all ``value_cols``
+    together), so the result always mixes columns from a single right row —
+    taking ``last(..., ignorenulls)`` per value column independently would
+    splice fields from different rows whenever the latest right row has a
+    NULL in one of them. Right rows with NULL ``right_ts`` are excluded up
+    front (a NULL timestamp satisfies no ``<=`` bound), matching the
+    row_number-based SQL oracle.
     """
-    order = [F.col("__ts__").asc(), F.col("__side__").asc()]
-    if tiebreak is not None:
-        order.append(F.col(tiebreak).asc())
+    right = right.where(F.col(right_ts).isNotNull())
+    rtypes = dict(right.dtypes)
+    struct_type = "struct<" + ", ".join(f"{c}:{rtypes[c]}" for c in value_cols) + ">"
 
-    l_tag = left.withColumn("__side__", F.lit(1)).withColumn(
-        "__ts__", F.col(left_ts)
+    l_tag = (
+        left.withColumn("__side__", F.lit(1))
+        .withColumn("__ts__", F.col(left_ts))
+        .withColumn("__rv__", F.lit(None).cast(struct_type))
+        .withColumn(
+            "__tb__",
+            F.lit(None).cast(rtypes[tiebreak] if tiebreak is not None else "int"),
+        )
     )
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"__r_{c}__", F.lit(None).cast(dict(right.dtypes)[c]))
-    if tiebreak is not None and tiebreak not in l_tag.columns:
-        l_tag = l_tag.withColumn(tiebreak, F.lit(None).cast(dict(right.dtypes)[tiebreak]))
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv__"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int")).alias(
+            "__tb__"
+        ),
+    )
 
-    r_cols = [F.col(on), F.col(right_ts).alias("__ts__"), F.lit(0).alias("__side__")]
-    r_cols += [F.col(c).alias(f"__r_{c}__") for c in value_cols]
-    if tiebreak is not None:
-        r_cols.append(F.col(tiebreak))
-    r_tag = right.select(*r_cols)
-
-    union_cols = [on, "__ts__", "__side__"] + [f"__r_{c}__" for c in value_cols]
-    if tiebreak is not None:
-        union_cols.append(tiebreak)
+    union_cols = [on, "__ts__", "__side__", "__rv__", "__tb__"]
     extra = [c for c in l_tag.columns if c not in union_cols]
     for c in extra:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
 
     u = l_tag.select(*union_cols, *extra).unionByName(r_tag.select(*union_cols, *extra))
 
-    w = Window.partitionBy(on).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    for c in value_cols:
-        u = u.withColumn(f"{prefix}{c}", F.last(f"__r_{c}__", ignorenulls=True).over(w))
+    # right rows sort before left rows at equal ts (inclusive match); ties
+    # among right rows at equal ts resolve by tiebreak asc, so last() = the
+    # greatest tiebreak — one struct, one winning row, all fields together
+    w = Window.partitionBy(on).orderBy(
+        F.col("__ts__").asc(), F.col("__side__").asc(), F.col("__tb__").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = u.withColumn("__last__", F.last("__rv__", ignorenulls=True).over(w))
 
-    drop = ["__ts__", "__side__"] + [f"__r_{c}__" for c in value_cols]
-    if tiebreak is not None:
-        drop.append(tiebreak)
-    return u.where(F.col("__side__") == 1).drop(*drop)
+    out = u.where(F.col("__side__") == 1)
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last__").getField(c))
+    return out.drop("__ts__", "__side__", "__rv__", "__tb__", "__last__")

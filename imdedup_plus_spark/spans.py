@@ -177,29 +177,45 @@ def span_summary(spans: DataFrame) -> DataFrame:
 def reconstruct_targets(spans: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
     """Replay instructions -> (id_b, reconstructed_text) — the
     CHECK_DECOMPRESS analog. Reconstruction needs only the base text and the
-    instruction stream (INSERT payloads carry the residual tokens)."""
+    instruction stream (INSERT payloads carry the residual tokens).
+
+    Scale shape: the instruction stream is collapsed to ONE row per
+    (base, target) pair *before* the base text joins on — joining the full
+    base text onto every span row would replicate it n_instructions times
+    into the shuffle (a 10k-instruction pair would carry the base 10k x).
+    ``sort_array`` over the struct list orders by its first field
+    (``instr_id``), so the replay order is deterministic in-kernel.
+    """
+    instrs = spans.groupBy("id_a", "id_b").agg(
+        F.sort_array(
+            F.collect_list(F.struct("instr_id", "kind", "a_off", "length", "payload"))
+        ).alias("instrs")
+    )
     base_texts = docs.select(
         F.col(id_col).alias("id_a"), F.col("text").alias("base_text")
     )
-    joined = spans.join(base_texts, "id_a")
+    joined = instrs.join(base_texts, "id_a")
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        buf: list[str] = []
-        A = None
-        for row in pdf.sort_values("instr_id").itertuples():
-            if row.kind == "COPY":
-                if A is None:
-                    A = str(row.base_text).split()
-                buf.extend(A[row.a_off : row.a_off + row.length])
-            elif row.payload:
-                buf.extend(str(row.payload).split())
-        return pd.DataFrame(
-            {"id_b": [pdf["id_b"].iloc[0]], "reconstructed_text": [" ".join(buf)]}
-        )
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts = [], []
+            for id_b, instr_list, base_text in zip(
+                pdf["id_b"].values, pdf["instrs"].values, pdf["base_text"].values
+            ):
+                buf: list[str] = []
+                A = None
+                for row in instr_list:  # sorted by instr_id (first struct field)
+                    if row["kind"] == "COPY":
+                        if A is None:
+                            A = str(base_text).split()
+                        buf.extend(A[row["a_off"] : row["a_off"] + row["length"]])
+                    elif row["payload"]:
+                        buf.extend(str(row["payload"]).split())
+                ids.append(id_b)
+                texts.append(" ".join(buf))
+            yield pd.DataFrame({"id_b": ids, "reconstructed_text": texts})
 
     id_type = spans.schema["id_b"].dataType.simpleString()
-    # applyInPandas guarantees each target's full instruction stream arrives
-    # in a single call (one group == one target)
-    return joined.groupBy("id_b").applyInPandas(
+    return joined.select("id_b", "instrs", "base_text").mapInPandas(
         fn, schema=f"id_b {id_type}, reconstructed_text string"
     )

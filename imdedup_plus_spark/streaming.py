@@ -25,11 +25,17 @@ then insert self) as incremental DataFrame dataflow:
   re-running a processed batch is prevented by the source checkpoint, the
   same design as ``pipeline.py``'s per-stage manifests.
 
-Incremental output == batch output: a pair (a, b) is emitted exactly when
-its later member arrives (the earlier member's bands are already in the
+Incremental output == batch output **in the uncapped case** (no bucket
+ever crosses ``bucket_cap``): a pair (a, b) is emitted exactly when its
+later member arrives (the earlier member's bands are already in the
 store), with the same ``n_matching_bands``, verification arithmetic, and
 early size-ratio prune as the batch path — ``tests/test_streaming.py``
-asserts set equality against the batch pipeline.
+asserts set equality against the batch pipeline. Under SCALE_CONFIG caps
+the cap/warm tier is evaluated against bucket sizes *as of arrival*
+(exactly like the reference's featureT probe), so a bucket that crosses
+the cap mid-stream yields a pair set that differs from a one-shot batch
+run while keeping the same recall property (see
+``candidate_pairs_probe``).
 """
 
 from __future__ import annotations

@@ -39,6 +39,16 @@ def main() -> int:
     ap.add_argument("--bucket-cap", type=int, default=32)
     ap.add_argument("--verify-jaccard-pct", type=int, default=30)
     ap.add_argument("--verify-sketch-k", type=int, default=128)
+    ap.add_argument(
+        "--hot-window", type=int, default=4,
+        help="sorted-neighborhood window inside hot buckets (0 = drop-only "
+        "capping; default matches SCALE_CONFIG's size-stable-recall tiering)",
+    )
+    ap.add_argument(
+        "--mega-cap", type=int, default=1024,
+        help="buckets above this are corpus stop-shingles and are dropped "
+        "even with --hot-window > 0",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -55,6 +65,8 @@ def main() -> int:
         bucket_cap=args.bucket_cap,
         verify_jaccard_pct=args.verify_jaccard_pct,
         verify_sketch_k=args.verify_sketch_k,
+        hot_window=args.hot_window,
+        mega_cap=args.mega_cap,
     )
     spark = get_spark(
         app_name="imdedup-plus-spark-incremental",

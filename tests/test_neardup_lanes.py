@@ -103,3 +103,27 @@ def test_ivf_ann_structure_and_recall(spark):
     # inverted lists partition the corpus
     cells = ann.ivf_cells(emb).collect()
     assert sum(r.cell_size for r in cells) == n
+
+
+def test_blocked_cosine_kernels_match_sql_forms(spark):
+    """The DISTRIBUTED brute-force kernels (shipped contract queries — no
+    driver collect) are bit-identical to the SQL forms, with a block size
+    small enough to force many block-pairs (upper triangle + both-direction
+    emission + global re-rank all exercised)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in ann.cosine_topk(emb).collect())
+    b = sorted(tuple(r) for r in ann.cosine_topk_blocked(emb, block_rows=7).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in ann.cosine_neardup_pairs(emb).collect())
+    d = sorted(
+        tuple(r) for r in ann.cosine_neardup_pairs_blocked(emb, block_rows=7).collect()
+    )
+    assert c == d
+
+
+def test_blocked_cosine_size_guard(spark):
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="guard"):
+        ann.cosine_topk_blocked(emb, max_rows=3).collect()

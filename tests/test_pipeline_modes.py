@@ -54,3 +54,48 @@ def test_short_doc_simhash_fallback(spark):
     got = sorted((r.id_a, r.id_b) for r in pairs.collect())
     assert (1, 2) in got
     assert all(4 not in p for p in got)
+
+
+def test_short_doc_pairs_hot_bucket_bounded_and_connected(spark):
+    """A planted hot SimHash bucket (one popular short page) must produce
+    O(s * window) chained pairs, not the s^2 self-join explosion — and the
+    chain must keep the bucket connected for connected-components."""
+    from dataclasses import replace as rep
+
+    cfg = rep(CFG, short_doc_tokens=6, bucket_cap=8, hot_window=2)
+    s = 40  # > bucket_cap -> hot tier
+    rows = [(i, "tiny dup text here") for i in range(s)]
+    rows += [(100, "other short words x"), (101, "other short words x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    valid = S.valid_documents(docs, cfg)
+    pairs = C.short_doc_pairs(valid, cfg, "doc_id")
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+
+    hot = [p for p in got if p[0] < s and p[1] < s]
+    # window=2 chain: (s-1) + (s-2) pairs, far below s*(s-1)/2 = 780
+    assert len(hot) == (s - 1) + (s - 2)
+    # chain connectivity: union-find over hot pairs joins all s members
+    parent = list(range(s))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in hot:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(s)}) == 1
+    # quiet tier still pairs fully
+    assert (100, 101) in got
+
+
+def test_candidate_pairs_hot_window_without_n_set_raises(spark):
+    import pytest
+    from dataclasses import replace as rep
+
+    bands = spark.createDataFrame(
+        [(1, 0, 42), (2, 0, 42)], "doc_id long, band_id int, band_hash long"
+    )
+    with pytest.raises(ValueError, match="n_set"):
+        C.candidate_pairs(bands, rep(CFG, hot_window=4), "doc_id")

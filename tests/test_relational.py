@@ -73,3 +73,29 @@ def test_asof_join_matches_naive_rangejoin(spark):
     f = {r["o_orderkey"]: r["asof_event_id"] for r in fast.collect()}
     n = {r["o_orderkey"]: r["asof_event_id"] for r in naive.collect()}
     assert f == n
+
+
+def test_asof_join_null_value_columns_stay_one_row(spark):
+    """The matched right row's fields must come from ONE row: when the
+    latest event has a NULL in one value column, that NULL is the answer —
+    not the older row's non-NULL value. Rows with NULL ts never match."""
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100, "old"),
+            # latest row: event_type IS NULL -> result must be (101, NULL)
+            (1, _ts("2024-01-01 12:00:00"), 101, None),
+            # NULL ts: must never match anything (not even as a fallback)
+            (2, None, 999, "ghost"),
+        ],
+        "key bigint, ts timestamp, event_id bigint, event_type string",
+    )
+    left = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-02 00:00:00")), (11, 2, _ts("2024-01-02 00:00:00"))],
+        "order_id bigint, key bigint, odate timestamp",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="odate", right_ts="ts",
+        value_cols=["event_id", "event_type"], tiebreak="event_id",
+    )
+    got = {r["order_id"]: (r["asof_event_id"], r["asof_event_type"]) for r in out.collect()}
+    assert got == {10: (101, None), 11: (None, None)}
