@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from imdedup_plus_spark import ann, candidates as C, clustering as CL, metrics as M
+from imdedup_plus_spark import chunking as CH
 from imdedup_plus_spark import multimodal as MM
 from imdedup_plus_spark import oracle, signatures as S, spans as SP, textfns as T
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
@@ -220,6 +221,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal binary-column lane (metadata over UTF-8 payload) ---
     q["mm_binary_metadata"] = lambda spark, sf: MM.text_binary_metadata(_docs(spark, sf), ID)
+
+    # --- REAL html->text extraction: messy synthetic page around an
+    #     entity-escaped payload, extractor must invert it (per-row
+    #     invariant, the jpeg.c:16-122 lossless-decode analog) ---
+    q["mm_html_extract"] = lambda spark, sf: MM.html_extract_roundtrip(_docs(spark, sf), ID)
+
+    # --- content-defined chunking lane (rabin/gear feature variants,
+    #     2df.c:272-396): divisor-test boundaries over the shingle stream,
+    #     chunk fingerprints, cross-document shared segments ---
+    q["dedup_cdc_chunks"] = lambda spark, sf: CH.cdc_chunks(_docs(spark, sf), CFG, ID)
+    q["dedup_cdc_shared_chunks"] = lambda spark, sf: CH.shared_chunks(
+        CH.cdc_chunks(_docs(spark, sf), CFG, ID), ID
+    )
 
     # --- similarity search over embeddings ---
     q["emb_cosine_topk"] = lambda spark, sf: ann.cosine_topk_blocked(_emb(spark, sf))
@@ -522,5 +536,18 @@ FROM (
             CFG, oracle.DEDUP_RATIO_SELECT, id_col=ID
         ),
         "dedup_roundtrip_check": oracle.roundtrip_check_sql(CFG, id_col=ID),
+        "mm_html_extract": MM.html_extract_roundtrip_sql(ID),
+        "dedup_cdc_chunks": CH.cdc_stage_query(
+            CFG,
+            "SELECT id AS doc_id, chunk_id, chunk_hash, chunk_len FROM cdc_chunks",
+            id_col=ID,
+        ),
+        "dedup_cdc_shared_chunks": CH.cdc_stage_query(
+            CFG,
+            "SELECT chunk_hash, CAST(count(DISTINCT id) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_occurrences "
+            "FROM cdc_chunks GROUP BY 1 HAVING count(DISTINCT id) >= 2",
+            id_col=ID,
+        ),
     }
     return o

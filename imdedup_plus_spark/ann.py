@@ -201,39 +201,117 @@ SELECT vec_id, bucket, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}""
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — coarse quantizer + inverted lists
+# IVF (inverted-file) ANN — trained coarse quantizer + inverted lists
 # ---------------------------------------------------------------------------
 
 IVF_N_CELLS = 8
 IVF_NPROBE = 2
+#: fixed Lloyd iteration count — fixed so the DuckDB oracle can replay the
+#: training as an unrolled CTE chain (no convergence test = no data-driven
+#: control flow = bit-exact replay)
+IVF_KMEANS_ITERS = 3
+#: training sample = the vectors with the smallest ids, capped — at corpus
+#: scale the codebook trains on a bounded deterministic sample (standard
+#: IVF practice: quantizer quality needs a sample, not the corpus) and the
+#: per-cell mean folds stay bounded at train_max / n_cells vectors
+IVF_TRAIN_MAX = 4096
+
+
+def train_ivf_codebook(
+    emb: DataFrame, n_cells: int = IVF_N_CELLS, iters: int = IVF_KMEANS_ITERS,
+    train_max: int = IVF_TRAIN_MAX, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = DIM,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means over cosine similarity, replayable
+    bit-for-bit by the DuckDB oracle (``_ivf_kmeans_ctes``):
+
+    * init: the ``n_cells`` smallest-id sample vectors, elementwise
+      ``round(CAST(x AS DOUBLE), 6)``;
+    * assign: argmax of round-6 cosine, ties -> smallest cell_id;
+    * update: elementwise mean over members **in ascending id order**
+      (ordered left fold — double addition is not associative, so the fold
+      order is part of the spec), ``round(sum/count, 6)``; empty cells
+      keep their previous centroid.
+
+    The only driver materialization is the codebook itself (n_cells x dim
+    doubles — O(1) in the corpus, the standard broadcast-codebook shape).
+    """
+    spark = emb.sparkSession
+    tr = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .orderBy("vid")
+        .limit(train_max)
+        .localCheckpoint(eager=True)  # sample is reused every iteration
+    )
+    init = (
+        tr.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).cast("int").alias("cell_id"),
+            F.expr("transform(v, x -> round(CAST(x AS DOUBLE), 6))").alias("cvec"),
+        )
+    )
+    cents = [(r["cell_id"], list(r["cvec"])) for r in init.collect()]
+    zeros = f"array_repeat(CAST(0.0 AS DOUBLE), {dim})"
+    e = tr.withColumn("nrm", F.expr(_norm_expr("v", dim)))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cell_id int, cvec array<double>")
+        cdf = cdf.withColumn("cnrm", F.expr(_norm_expr("cvec", dim)))
+        cos = f"round({_dot_expr('v', 'cvec', dim)} / (nrm * cnrm), 6)"
+        w = Window.partitionBy("vid").orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id").asc()
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("cell_cos", F.expr(cos))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+        )
+        means = (
+            assign.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("vid"), F.col("v")))
+                ).alias("rows"),
+            )
+            .select(
+                "cell_id",
+                F.expr(
+                    f"transform(aggregate(transform(rows, r -> r.v), {zeros}, "
+                    "(acc, vv) -> zip_with(acc, vv, (a, b) -> a + CAST(b AS DOUBLE))), "
+                    "s -> round(s / cnt, 6))"
+                ).alias("mvec"),
+            )
+        )
+        got = {r["cell_id"]: list(r["mvec"]) for r in means.collect()}
+        cents = [(cid, got.get(cid, cv)) for cid, cv in cents]
+    return cents
 
 
 def _ivf_scored(
-    emb: DataFrame, n_cells: int, id_col: str, vec_col: str, dim: int
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str, dim: int,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, nrm, cell_id, cell_rank): every vector scored
-    against the deterministic codebook, ranked by cosine.
+    against the trained codebook, ranked by cosine.
 
-    Codebook = the ``n_cells`` vectors with the smallest ids (a seedless
-    deterministic coarse quantizer; a real deployment would run k-means||
-    offline and broadcast the trained codebook — the *plan shape* is
-    identical: tiny dimension table, broadcast hash join, no shuffle).
-    ``cell_id`` is the seed vector's own id.
+    The codebook is a tiny dimension table (``n_cells`` rows) broadcast to
+    every executor — one narrow map over the corpus, no shuffle; the only
+    shuffle in the IVF lane is the ``cell_id`` co-location of the inverted
+    lists. ``cell_id`` is the 0-based codebook index.
     """
+    if cents is None:
+        cents = train_ivf_codebook(
+            emb, n_cells, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    cdf = emb.sparkSession.createDataFrame(cents, "cell_id int, cvec array<double>")
+    cdf = cdf.withColumn("cnrm", F.expr(_norm_expr("cvec", dim)))
     e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
         "nrm", F.expr(_norm_expr(vec_col, dim))
     )
-    seeds = (
-        e.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            F.col(vec_col).alias("cvec"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
     cos = f"round({_dot_expr(vec_col, 'cvec', dim)} / (nrm * cnrm), 6)"
-    scored = e.crossJoin(F.broadcast(seeds)).withColumn("cell_cos", F.expr(cos))
+    scored = e.crossJoin(F.broadcast(cdf)).withColumn("cell_cos", F.expr(cos))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cell_cos").desc(), F.col("cell_id").asc()
     )
@@ -298,16 +376,68 @@ def ivf_ann_topk(
     )
 
 
-def _ivf_scored_sql(n_cells: int, dim: int, table: str) -> str:
+def _ivf_kmeans_ctes(n_cells: int, iters: int, train_max: int, dim: int,
+                     table: str) -> str:
+    """Unrolled replay of ``train_ivf_codebook``: ``c0`` .. ``c{iters}``
+    CTEs, each iteration = assign (argmax round-6 cosine, tie -> smallest
+    cell) + ordered-fold mean (ascending vec_id — the same left fold as
+    the Spark ``aggregate``), empty cells carry the previous centroid."""
+    zeros = f"list_transform(generate_series(1, {dim}), d -> CAST(0.0 AS DOUBLE))"
+    parts = [
+        f"""tr AS (
+  SELECT vec_id AS vid, embedding AS v,
+         sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+  FROM {table} ORDER BY vec_id ASC LIMIT {train_max}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid ASC) - 1 AS INT) AS cell_id,
+         list_transform(v, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT vid, v FROM tr ORDER BY vid ASC LIMIT {n_cells})
+)"""
+    ]
+    for t in range(iters):
+        cos = (
+            f"round({_dot_sql('t.v', 'c.cvec', dim)} / "
+            f"(t.nrm * sqrt({_dot_sql('c.cvec', 'c.cvec', dim)})), 6)"
+        )
+        parts.append(f"""a{t} AS (
+  SELECT vid, v, cell_id FROM (
+    SELECT t.vid, t.v, c.cell_id,
+           row_number() OVER (PARTITION BY t.vid
+               ORDER BY {cos} DESC, c.cell_id ASC) AS rn
+    FROM tr t CROSS JOIN c{t} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""m{t} AS (
+  SELECT cell_id, count(*) AS cnt, list(v ORDER BY vid ASC) AS vs
+  FROM a{t} GROUP BY 1
+),
+c{t + 1} AS (
+  SELECT c.cell_id,
+         CASE WHEN m.cnt IS NULL THEN c.cvec
+              ELSE list_transform(
+                     list_reduce(list_prepend({zeros}, m.vs),
+                       (acc, vv) -> list_transform(generate_series(1, {dim}),
+                                      d -> acc[d] + CAST(vv[d] AS DOUBLE))),
+                     s -> round(s / m.cnt, 6)) END AS cvec
+  FROM c{t} c LEFT JOIN m{t} m ON m.cell_id = c.cell_id
+)""")
+    return ",\n".join(parts)
+
+
+def _ivf_scored_sql(n_cells: int, dim: int, table: str,
+                    iters: int = IVF_KMEANS_ITERS,
+                    train_max: int = IVF_TRAIN_MAX) -> str:
     cell_cos = f"round({_dot_sql('e.embedding', 's.cvec', dim)} / (e.nrm * s.cnrm), 6)"
     return f"""
+{_ivf_kmeans_ctes(n_cells, iters, train_max, dim, table)},
 e AS (
   SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
   FROM {table}
 ),
 seeds AS (
-  SELECT vec_id AS cell_id, embedding AS cvec, nrm AS cnrm
-  FROM e ORDER BY vec_id ASC LIMIT {n_cells}
+  SELECT cell_id, cvec, sqrt({_dot_sql('cvec', 'cvec', dim)}) AS cnrm
+  FROM c{iters}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, e.nrm, s.cell_id, {cell_cos} AS cell_cos,

@@ -4,10 +4,13 @@ The input table carries ``html BINARY`` (BASELINE.json input_hint). This
 module implements the binary-payload operators a training-data pipeline
 needs, treating media as opaque bytes + typed metadata:
 
-* ``extract_text_df`` — REAL: html -> text extraction (mapInPandas,
-  Arrow-batched), verifying the per-row invariant ``extract(html) == text``
-  (the analog of the reference's lossless decode,
-  ``/root/reference/jpeg.c:16-122``);
+* ``extract_text_df`` / ``html_to_text_col`` — REAL: html -> text
+  extraction (a deterministic minimal parser: head/script/style/comment
+  block removal, tag strip, entity decode, whitespace normalization),
+  verifying the per-row invariant ``extract(html) == text`` (the analog of
+  the reference's lossless decode, ``/root/reference/jpeg.c:16-122``).
+  Identical rules ship three ways: Spark built-ins (JVM hot path), Python
+  ``re`` (Arrow kernel), DuckDB SQL (oracle);
 * ``binary_metadata`` — REAL: size/prefix metadata over any binary column;
 * ``decode_image`` / ``resize_image`` / ``sample_frames`` — STUBS: the
   image/audio libraries are not in this container. The Spark-side plumbing
@@ -26,25 +29,126 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: block-removal patterns, applied in order BEFORE the generic tag strip
+#: (a script body may contain '<' that is not markup). Shared verbatim by
+#: the Spark (Java regex), Python (re), and DuckDB (RE2) implementations —
+#: only constructs all three dialects support identically: inline (?is)
+#: flags, non-greedy .*?, optional attribute group.
+_HTML_BLOCK_PATTERNS = [
+    r"(?is)<head(\s[^>]*)?>.*?</head\s*>",
+    r"(?is)<script(\s[^>]*)?>.*?</script\s*>",
+    r"(?is)<style(\s[^>]*)?>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+]
+_HTML_TAG_PATTERN = r"<[^>]+>"
+#: entity decode table; '&amp;' deliberately LAST so '&amp;lt;' decodes to
+#: the literal '&lt;' (single-pass decode, the inverse of escape-&-first)
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_to_text_col(col: "F.Column") -> "F.Column":
+    """Minimal real html -> text extraction as pure Spark built-ins (JVM
+    whole-stage codegen, no Python): strip head/script/style/comment
+    blocks, strip tags to spaces, decode the common entities, collapse
+    whitespace. Deterministic by construction."""
+    c = col
+    for p in _HTML_BLOCK_PATTERNS:
+        c = F.regexp_replace(c, p, " ")
+    c = F.regexp_replace(c, _HTML_TAG_PATTERN, " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The identical rule chain as DuckDB SQL (RE2 dialect; 'g' = global,
+    matching Spark's replace-all default)."""
+    c = expr
+    for p in _HTML_BLOCK_PATTERNS:
+        c = f"regexp_replace({c}, '{p}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_HTML_TAG_PATTERN}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        c = f"regexp_replace({c}, '{ent}', '{ch_sql}', 'g')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def html_to_text_py(s: str) -> str:
+    """The identical rule chain in Python (for the Arrow kernel + tests)."""
+    import re
+
+    for p in _HTML_BLOCK_PATTERNS:
+        s = re.sub(p, " ", s)
+    s = re.sub(_HTML_TAG_PATTERN, " ", s)
+    for ent, ch in _HTML_ENTITIES:
+        s = s.replace(ent, ch)
+    return re.sub(r"\s+", " ", s).strip()
+
+
 def extract_text_df(df: DataFrame, html_col: str = "html", id_col: str = "url") -> DataFrame:
-    """Decode the html payload back to text (fixture html layout:
-    ``...<p>{text}</p>...``). Narrow Arrow-batched map."""
+    """Decode the html payload back to text with the real minimal parser
+    (``html_to_text_py``). Narrow Arrow-batched map."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = []
-            for raw in pdf[html_col].values:
-                s = bytes(raw).decode("utf-8", errors="replace")
-                if "<p>" in s and "</p>" in s:
-                    texts.append(s.split("<p>", 1)[1].split("</p>", 1)[0])
-                else:
-                    texts.append("")
+            texts = [
+                html_to_text_py(bytes(raw).decode("utf-8", errors="replace"))
+                for raw in pdf[html_col].values
+            ]
             yield pd.DataFrame({id_col: pdf[id_col].values, "extracted_text": texts})
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, html_col).mapInPandas(
         fn, schema=f"{id_col} {id_type}, extracted_text string"
     )
+
+
+#: messy synthetic page wrapped around an entity-escaped text payload —
+#: exercises body-level script (with '<' inside), style, comments, and
+#: attribute-laden tags; used by the oracled roundtrip query below
+_HTML_WRAP_PREFIX = (
+    '<html><head><title>t</title></head><body>'
+    '<script type="text/javascript">var x = 1 < 2; // <not a tag></script>'
+    "<style media=\"all\">p { color: red; }</style>"
+    "<!-- hidden <comment> -->\n  <p class=\"main\" data-x=\"1\">"
+)
+_HTML_WRAP_SUFFIX = "</p><br/>\n</body></html>"
+
+
+def html_extract_roundtrip(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Render each text into a messy synthetic page (entity-escaped payload
+    inside scripts/styles/comments/attribute tags), run the REAL extractor,
+    and check the per-row invariant: extracted == whitespace-normalized
+    original. The driver testdata carries no html column, so the page is
+    synthesized deterministically — the extraction under test is real."""
+    esc = F.col(text_col)
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.regexp_replace(esc, ch, ent)
+    html = F.concat(F.lit(_HTML_WRAP_PREFIX), esc, F.lit(_HTML_WRAP_SUFFIX))
+    ext = html_to_text_col(html)
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        ext.alias("extracted_text"),
+        (ext == norm).alias("roundtrip_ok"),
+    )
+
+
+def html_extract_roundtrip_sql(id_col: str, table: str = "documents") -> str:
+    esc = "text"
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = f"regexp_replace({esc}, '{ch}', '{ent}', 'g')"
+    pre = _HTML_WRAP_PREFIX.replace("'", "''")
+    suf = _HTML_WRAP_SUFFIX.replace("'", "''")
+    html = f"'{pre}' || {esc} || '{suf}'"
+    ext = html_to_text_sql(html)
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT {id_col}, {ext} AS extracted_text, ({ext} = {norm}) AS roundtrip_ok
+FROM {table}"""
 
 
 def binary_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:

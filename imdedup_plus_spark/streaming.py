@@ -17,13 +17,23 @@ then insert self) as incremental DataFrame dataflow:
 * state lives in parquet stage stores (Iceberg tables on a real cluster —
   the same layout as ``pipeline.py``'s checkpointed stages), NOT in Spark's
   in-memory state store: at 10^12 docs the band index must be a table with
-  partition pruning on ``(band_id, band_hash)``, not executor heap, and
-  ``foreachBatch`` is the supported pattern for table-backed streaming
-  state;
-* exactly-once: the streaming checkpoint (``_stream_checkpoint``) makes
-  file-source progress idempotent, and batch ingestion is append-only —
-  re-running a processed batch is prevented by the source checkpoint, the
-  same design as ``pipeline.py``'s per-stage manifests.
+  partition pruning, not executor heap, and ``foreachBatch`` is the
+  supported pattern for table-backed streaming state;
+* **partition-pruned probes**: the band store is hash-partitioned on
+  ``bh_part = pmod(xxhash64(band_id, band_hash), n_parts)`` and the
+  signature store on ``id_part = pmod(xxhash64(id), n_parts)``, so each
+  micro-batch reads only the store partitions its own keys hash into —
+  probe I/O is proportional to the batch, not to the accumulated corpus;
+  bucket sizes are maintained **incrementally** in a per-epoch delta table
+  (one row per touched bucket per epoch) instead of being recomputed by
+  scanning the full band store;
+* **idempotent replays**: ``foreachBatch`` is at-least-once, so every
+  state write is partitioned by ``epoch`` and written with dynamic
+  partition overwrite — a crash between writes and the stream-checkpoint
+  commit replays the batch, and the replay *rewrites* its epoch
+  partitions instead of re-appending (no duplicated pairs, no inflated
+  bucket sizes). A per-epoch manifest written after all four stores
+  commit short-circuits clean replays entirely.
 
 Incremental output == batch output **in the uncapped case** (no bucket
 ever crosses ``bucket_cap``): a pair (a, b) is emitted exactly when its
@@ -49,7 +59,8 @@ from .config import DedupConfig
 
 
 def candidate_pairs_probe(
-    bands_new: DataFrame, bands_all: DataFrame, cfg: DedupConfig, id_col: str
+    bands_new: DataFrame, bands_all: DataFrame, cfg: DedupConfig, id_col: str,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Pair each *new* document against the full band index (old ∪ new).
 
@@ -69,11 +80,19 @@ def candidate_pairs_probe(
     same recall property — group members keep near-equal set sizes at
     every prefix of the stream; tests/test_streaming.py checks planted
     recall through the incremental path.
+
+    ``sizes`` (band_id, band_hash, bucket_size), when given, replaces the
+    groupBy over ``bands_all`` — the incremental path passes the
+    delta-table rollup so sizing never scans band membership rows. It only
+    needs to cover the buckets present in ``bands_new`` (a bucket key maps
+    to one store partition, so the pruned delta slice is complete for
+    them); ``bands_all`` likewise only needs those buckets' members.
     """
     has_set = "n_set" in bands_all.columns and cfg.verify_mode == "jaccard"
-    sizes = bands_all.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    )
+    if sizes is None:
+        sizes = bands_all.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
     ok = sizes.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.bucket_cap)
     ).select("band_id", "band_hash")
@@ -165,33 +184,174 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+#: state-store hash-partition fan-out. At sandbox scale 64 keeps partition
+#: counts sane; at 10^12 docs raise it (or use Iceberg bucket partitioning)
+#: so one partition holds ~store_size/n_parts rows.
+DEFAULT_N_PARTS = 64
+
+
+def _dyn_overwrite(df: DataFrame, path: str, part_cols: list[str]) -> None:
+    """Dynamic partition overwrite: only the partitions present in ``df``
+    are replaced — the idempotency primitive (a replayed epoch rewrites
+    its own ``epoch=...`` partitions and touches nothing else)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+
+
+def _epoch_manifest(state_dir: str, epoch_id: int) -> str:
+    import os
+
+    return os.path.join(state_dir, "_epochs", f"epoch_{epoch_id:012d}.json")
+
+
+def processed_epochs(state_dir: str) -> list[int]:
+    import glob
+    import os
+
+    return sorted(
+        int(os.path.basename(p)[6:-5])
+        for p in glob.glob(os.path.join(state_dir, "_epochs", "epoch_*.json"))
+    )
+
+
 def incremental_dedup_batch(
-    batch_df: DataFrame, state_dir: str, cfg: DedupConfig, id_col: str = "url"
+    batch_df: DataFrame,
+    state_dir: str,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    epoch_id: int | None = None,
+    n_parts: int = DEFAULT_N_PARTS,
 ) -> None:
     """One micro-batch of the insert+probe loop (callable directly or from
     ``foreachBatch``): sketch new docs, probe the band store, verify, and
-    append pairs + new state. Stores under ``state_dir``:
-    ``signatures/`` ``bands/`` (the index) and ``pairs/`` (the output)."""
+    commit pairs + new state. Stores under ``state_dir``:
+
+    * ``bands/``        partitioned (epoch, bh_part) — the LSH index
+    * ``bucket_deltas/``partitioned (epoch, bh_part) — per-epoch bucket
+      size increments (one row per touched bucket): bucket sizes are
+      maintained incrementally, never recomputed from band membership
+    * ``signatures/``   partitioned (epoch, id_part)
+    * ``pairs/``        partitioned (epoch) — the output
+    * ``_epochs/``      one manifest json per committed epoch, written
+      LAST — the write-ahead ordering that makes a clean replay a no-op
+
+    Idempotency (foreachBatch is at-least-once): every store write is a
+    dynamic partition overwrite keyed by ``epoch``, so a replay after a
+    crash between writes *rewrites* the partial epoch partitions instead
+    of re-appending; prior epochs are explicitly excluded from the state
+    reads (``epoch != epoch_id`` guards against reading this epoch's own
+    partial leftovers during a replay).
+
+    Probe I/O is proportional to the batch: the band store and the delta
+    table are read only for the ``bh_part`` values the new batch's bands
+    hash into, and the signature store only for the ``id_part`` values of
+    verified-candidate members — both are partition columns, so Spark
+    prunes at file-listing time (PLANS.md shows the PartitionFilters).
+    """
+    import json
+    import os
+
     spark = batch_df.sparkSession
     sig_store = f"{state_dir}/signatures"
     bands_store = f"{state_dir}/bands"
+    deltas_store = f"{state_dir}/bucket_deltas"
     pairs_store = f"{state_dir}/pairs"
 
+    if epoch_id is None:
+        done = processed_epochs(state_dir)
+        epoch_id = (done[-1] + 1) if done else 0
+    manifest = _epoch_manifest(state_dir, epoch_id)
+    if os.path.exists(manifest):
+        return  # clean replay of a committed epoch: no-op
+
     sig_new = S.signature_kernel_arrow(batch_df, cfg, id_col)
-    sig_new = sig_new.localCheckpoint(eager=True)  # compute once: probed AND appended
-    bands_new = S.explode_bands(sig_new, cfg, id_col)
+    sig_new = sig_new.localCheckpoint(eager=True)  # compute once: probed AND written
+    bands_new = S.explode_bands(sig_new, cfg, id_col).withColumn(
+        "bh_part", F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(n_parts)).cast("int")
+    )
+    bands_new = bands_new.localCheckpoint(eager=True)
+    deltas_new = bands_new.groupBy("band_id", "band_hash", "bh_part").agg(
+        F.count(F.lit(1)).cast("long").alias("delta")
+    )
+
+    touched = [r[0] for r in bands_new.select("bh_part").distinct().collect()]
+    band_cols = [c for c in bands_new.columns if c != "bh_part"]
 
     if _store_exists(spark, bands_store):
-        bands_all = spark.read.parquet(bands_store).unionByName(bands_new)
-        sig_all = spark.read.parquet(sig_store).unionByName(sig_new)
+        old_bands = (
+            spark.read.parquet(bands_store)
+            .where(F.col("bh_part").isin(touched) & (F.col("epoch") != epoch_id))
+            .select(*band_cols)
+        )
+        bands_all = old_bands.unionByName(bands_new.select(*band_cols))
+        old_deltas = (
+            spark.read.parquet(deltas_store)
+            .where(F.col("bh_part").isin(touched) & (F.col("epoch") != epoch_id))
+            .select("band_id", "band_hash", "delta")
+        )
+        sizes = (
+            old_deltas.unionByName(deltas_new.select("band_id", "band_hash", "delta"))
+            .groupBy("band_id", "band_hash")
+            .agg(F.sum("delta").alias("bucket_size"))
+        )
     else:
-        bands_all, sig_all = bands_new, sig_new
+        bands_all = bands_new.select(*band_cols)
+        sizes = deltas_new.select(
+            "band_id", "band_hash", F.col("delta").alias("bucket_size")
+        )
 
-    cand = candidate_pairs_probe(bands_new, bands_all, cfg, id_col)
+    cand = candidate_pairs_probe(
+        bands_new.select(*band_cols), bands_all, cfg, id_col, sizes=sizes
+    ).localCheckpoint(eager=True)
+
+    id_part = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_parts)).cast("int")
+    if _store_exists(spark, sig_store):
+        need_parts = [
+            r[0]
+            for r in cand.select(id_part("id_a").alias("p"))
+            .union(cand.select(id_part("id_b").alias("p")))
+            .distinct()
+            .collect()
+        ]
+        sig_cols = sig_new.columns
+        old_sigs = (
+            spark.read.parquet(sig_store)
+            .where(F.col("id_part").isin(need_parts) & (F.col("epoch") != epoch_id))
+            .select(*sig_cols)
+        )
+        sig_all = old_sigs.unionByName(sig_new)
+    else:
+        sig_all = sig_new
     ver = C.verify_pairs_kernel(cand, sig_all, cfg, id_col)
-    ver.write.mode("append").parquet(pairs_store)
-    bands_new.write.mode("append").parquet(bands_store)
-    sig_new.write.mode("append").parquet(sig_store)
+
+    _dyn_overwrite(ver.withColumn("epoch", F.lit(epoch_id)), pairs_store, ["epoch"])
+    _dyn_overwrite(
+        bands_new.withColumn("epoch", F.lit(epoch_id)),
+        bands_store,
+        ["epoch", "bh_part"],
+    )
+    _dyn_overwrite(
+        deltas_new.withColumn("epoch", F.lit(epoch_id)),
+        deltas_store,
+        ["epoch", "bh_part"],
+    )
+    _dyn_overwrite(
+        sig_new.withColumn("id_part", id_part(id_col)).withColumn(
+            "epoch", F.lit(epoch_id)
+        ),
+        sig_store,
+        ["epoch", "id_part"],
+    )
+
+    os.makedirs(os.path.dirname(manifest), exist_ok=True)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": epoch_id, "touched_bh_parts": sorted(touched)}, fh)
+    os.replace(tmp, manifest)
 
 
 def run_incremental_stream(
@@ -202,6 +362,7 @@ def run_incremental_stream(
     id_col: str = "url",
     schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
     max_files_per_trigger: int | None = None,
+    n_parts: int = DEFAULT_N_PARTS,
 ) -> None:
     """Drain all currently-available files under ``input_dir`` through the
     incremental loop (``Trigger.AvailableNow``) and stop. Re-invoking after
@@ -214,10 +375,12 @@ def run_incremental_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    def _fb(batch_df: DataFrame, _epoch: int) -> None:
+    def _fb(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_dedup_batch(batch_df, state_dir, cfg, id_col)
+        incremental_dedup_batch(
+            batch_df, state_dir, cfg, id_col, epoch_id=epoch, n_parts=n_parts
+        )
 
     q = (
         stream.writeStream.foreachBatch(_fb)
@@ -229,7 +392,7 @@ def run_incremental_stream(
 
 
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{state_dir}/pairs")
+    return spark.read.parquet(f"{state_dir}/pairs").drop("epoch")
 
 
 def windowed_event_counts(

@@ -48,3 +48,30 @@ def test_frame_sample_fake_explodes(spark, fixture_corpus):
     out = MM.sample_frames(docs, "html", "url", deterministic_fake=True).collect()
     assert len(out) >= 3
     assert all(len(bytes(r.frame)) <= 16 for r in out)
+
+
+def test_html_to_text_messy_cases():
+    """Real-parser invariants on messier planted html (no Spark needed)."""
+    from imdedup_plus_spark.multimodal import html_to_text_py
+
+    assert html_to_text_py(
+        '<html><head><title>T</title><meta x="y"></head>'
+        '<body><script>if (a < b) { alert("<hi>"); }</script>'
+        "<style>p > a { color: red }</style>"
+        "<!-- note: <div> inside comment -->"
+        '<h1 class="big">Hello</h1>\n\n<p data-k="v">world &amp; &lt;friends&gt;</p>'
+        "</body></html>"
+    ) == 'Hello world & <friends>'
+    # entity decode is single-pass: &amp;lt; -> literal &lt;
+    assert html_to_text_py("<p>&amp;lt;</p>") == "&lt;"
+    # unterminated tag / plain text passes through
+    assert html_to_text_py("no markup at all") == "no markup at all"
+    assert html_to_text_py("  a\t b\n\nc ") == "a b c"
+
+
+def test_html_extract_roundtrip_query(spark, sf001_docs):
+    from imdedup_plus_spark.multimodal import html_extract_roundtrip
+
+    out = html_extract_roundtrip(sf001_docs, "doc_id")
+    rows = out.collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)

@@ -127,3 +127,32 @@ def test_blocked_cosine_size_guard(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="guard"):
         ann.cosine_topk_blocked(emb, max_rows=3).collect()
+
+
+def test_ivf_trained_codebook_recall_on_planted_clusters(spark):
+    """k-means-trained quantizer must deliver recall@k >= 0.9 at nprobe=2
+    on an embedding corpus with real cluster structure (the case the
+    untrained first-n-ids codebook would fail)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + 0.15 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {}
+    for r in ann.cosine_topk(emb, k=3).collect():
+        exact.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ann.ivf_ann_topk(emb, k=3, nprobe=2).collect():
+        approx.setdefault(r.vec_id, set()).add(r.neighbor_id)
+
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(s) for s in exact.values())
+    assert hits / total >= 0.9, f"IVF recall@3 {hits}/{total}"

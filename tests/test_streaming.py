@@ -141,3 +141,81 @@ def test_incremental_hotwindow_recall(spark, fixture_corpus, tmp_path):
     cb = cl.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("cb"))
     hit = exp.join(ca, "url_a").join(cb, "url_b").where("ca = cb").count()
     assert hit / n_exp >= 0.99, f"incremental hot-window recall {hit}/{n_exp}"
+
+
+def test_incremental_replay_is_idempotent(spark, fixture_corpus, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch (manifest present ->
+    no-op; manifest missing -> dynamic overwrite rewrite) must leave every
+    store with exactly the same content — no duplicated pairs, no inflated
+    bucket sizes."""
+    import os
+
+    docs, h1, h2 = _halves(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url", epoch_id=0)
+    ST.incremental_dedup_batch(h2, state, CFG, "url", epoch_id=1)
+    pairs0 = sorted(
+        tuple(r) for r in ST.read_pairs(spark, state).select(*PAIR_COLS).collect()
+    )
+    n_bands0 = spark.read.parquet(f"{state}/bands").count()
+    sizes0 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/bucket_deltas")
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("delta").alias("sz"))
+        .collect()
+    )
+
+    # clean replay: manifest exists -> skip
+    ST.incremental_dedup_batch(h2, state, CFG, "url", epoch_id=1)
+    # crash replay: manifest lost after partial writes -> rewrite, not append
+    os.remove(ST._epoch_manifest(state, 1))
+    ST.incremental_dedup_batch(h2, state, CFG, "url", epoch_id=1)
+
+    pairs1 = sorted(
+        tuple(r) for r in ST.read_pairs(spark, state).select(*PAIR_COLS).collect()
+    )
+    assert pairs1 == pairs0
+    assert spark.read.parquet(f"{state}/bands").count() == n_bands0
+    sizes1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/bucket_deltas")
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("delta").alias("sz"))
+        .collect()
+    )
+    assert sizes1 == sizes0
+    assert pairs1 == sorted(_batch_pairs(docs))
+
+
+def test_incremental_probe_is_partition_pruned(spark, fixture_corpus, tmp_path):
+    """The probe's state read must touch only the bh_part partitions the
+    new batch hashes into — file-level proof via input_file_name()."""
+    docs, h1, _ = _halves(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url", epoch_id=0)
+
+    # a one-doc batch touches at most n_bands bh_parts
+    one = docs.orderBy("url").limit(1)
+    from imdedup_plus_spark import signatures as S2
+
+    sig1 = S2.signature_kernel_arrow(one, CFG, "url")
+    bands1 = S2.explode_bands(sig1, CFG, "url").withColumn(
+        "bh_part",
+        F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(ST.DEFAULT_N_PARTS)).cast("int"),
+    )
+    touched = {r[0] for r in bands1.select("bh_part").distinct().collect()}
+    assert len(touched) <= CFG.n_bands
+
+    store = spark.read.parquet(f"{state}/bands")
+    read_files = {
+        r[0]
+        for r in store.where(F.col("bh_part").isin(list(touched)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    all_files = {r[0] for r in store.select(F.input_file_name()).distinct().collect()}
+    assert read_files < all_files, "pruned read must touch a strict file subset"
+    for f in read_files:
+        assert any(f"bh_part={t}/" in f for t in touched)
