@@ -17,8 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdedup_plus_spark import ann, candidates as C, clustering as CL, metrics as M
-from imdedup_plus_spark import chunking as CH
+from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
+from imdedup_plus_spark import chunking as CH, clustering as CL, metrics as M
 from imdedup_plus_spark import multimodal as MM
 from imdedup_plus_spark import oracle, signatures as S, spans as SP, textfns as T
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
@@ -200,6 +200,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_roundtrip_check"] = _roundtrip
+
+    # --- byte-level delta lane (xdelta/JBLOCK analog, idelta.c:480-496,
+    #     711-748): block-aligned byte delta over the synthetic html
+    #     payload's UTF-8 bytes + byte-exact restore ---
+    def _byte_spans(spark, sf):
+        docs = _docs(spark, sf)
+        best = C.best_base(_verified(spark, sf))
+        pairs = best.select(
+            F.col("base_id").alias("id_a"), F.col("target_id").alias("id_b")
+        )
+        return BD.extract_byte_spans(BD.pair_payloads(pairs, docs, ID), CFG)
+
+    q["dedup_byte_spans"] = _byte_spans
+    q["dedup_byte_summary"] = lambda spark, sf: BD.byte_span_summary(
+        _byte_spans(spark, sf)
+    )
+
+    def _byte_roundtrip(spark, sf):
+        docs = _docs(spark, sf)
+        sig = _sig(spark, sf)
+        ver = _verified(spark, sf)
+        cl = CL.clusters_from_pairs(sig, ver, ID)
+        pairs = cl.where(F.col(ID) != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("id_a"), F.col(ID).alias("id_b")
+        )
+        spans = BD.extract_byte_spans(BD.pair_payloads(pairs, docs, ID), CFG)
+        return BD.byte_roundtrip_check(spans, docs, ID)
+
+    q["dedup_byte_roundtrip_check"] = _byte_roundtrip
 
     # --- exact-dup prepass (FIX_OPTI analog, #9) ---
     q["dedup_exact_groups"] = lambda spark, sf: T.exact_dup_groups(_docs(spark, sf), ID)
@@ -536,6 +565,17 @@ FROM (
             CFG, oracle.DEDUP_RATIO_SELECT, id_col=ID
         ),
         "dedup_roundtrip_check": oracle.roundtrip_check_sql(CFG, id_col=ID),
+        # --- byte-delta lane: same recursive replay over hex-block tokens ---
+        "dedup_byte_spans": BD.byte_span_query(
+            CFG,
+            "SELECT id_a, id_b, instr_id, kind, a_off, b_off, length, payload "
+            "FROM sp_spans",
+            id_col=ID,
+        ),
+        "dedup_byte_summary": BD.byte_span_query(
+            CFG, BD.BYTE_SUMMARY_SELECT, id_col=ID
+        ),
+        "dedup_byte_roundtrip_check": BD.byte_roundtrip_sql(CFG, id_col=ID),
         "mm_html_extract": MM.html_extract_roundtrip_sql(ID),
         "dedup_cdc_chunks": CH.cdc_stage_query(
             CFG,

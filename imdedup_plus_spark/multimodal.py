@@ -118,17 +118,33 @@ _HTML_WRAP_PREFIX = (
 _HTML_WRAP_SUFFIX = "</p><br/>\n</body></html>"
 
 
+def wrapped_html_col(text_col: str = "text") -> "F.Column":
+    """The messy synthetic page as a Spark column: entity-escape the text,
+    wrap in the prefix/suffix. Shared by the extraction-roundtrip query and
+    the byte-delta lane (which deltas the page's UTF-8 bytes)."""
+    esc = F.col(text_col)
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.regexp_replace(esc, ch, ent)
+    return F.concat(F.lit(_HTML_WRAP_PREFIX), esc, F.lit(_HTML_WRAP_SUFFIX))
+
+
+def wrapped_html_sql(text_expr: str = "text") -> str:
+    """The identical page construction as DuckDB SQL."""
+    esc = text_expr
+    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = f"regexp_replace({esc}, '{ch}', '{ent}', 'g')"
+    pre = _HTML_WRAP_PREFIX.replace("'", "''")
+    suf = _HTML_WRAP_SUFFIX.replace("'", "''")
+    return f"'{pre}' || {esc} || '{suf}'"
+
+
 def html_extract_roundtrip(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Render each text into a messy synthetic page (entity-escaped payload
     inside scripts/styles/comments/attribute tags), run the REAL extractor,
     and check the per-row invariant: extracted == whitespace-normalized
     original. The driver testdata carries no html column, so the page is
     synthesized deterministically — the extraction under test is real."""
-    esc = F.col(text_col)
-    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
-        esc = F.regexp_replace(esc, ch, ent)
-    html = F.concat(F.lit(_HTML_WRAP_PREFIX), esc, F.lit(_HTML_WRAP_SUFFIX))
-    ext = html_to_text_col(html)
+    ext = html_to_text_col(wrapped_html_col(text_col))
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.select(
         F.col(id_col),
@@ -138,13 +154,7 @@ def html_extract_roundtrip(docs: DataFrame, id_col: str, text_col: str = "text")
 
 
 def html_extract_roundtrip_sql(id_col: str, table: str = "documents") -> str:
-    esc = "text"
-    for ch, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
-        esc = f"regexp_replace({esc}, '{ch}', '{ent}', 'g')"
-    pre = _HTML_WRAP_PREFIX.replace("'", "''")
-    suf = _HTML_WRAP_SUFFIX.replace("'", "''")
-    html = f"'{pre}' || {esc} || '{suf}'"
-    ext = html_to_text_sql(html)
+    ext = html_to_text_sql(wrapped_html_sql("text"))
     norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
     return f"""
 SELECT {id_col}, {ext} AS extracted_text, ({ext} = {norm}) AS roundtrip_ok

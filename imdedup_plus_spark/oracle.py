@@ -217,7 +217,10 @@ _RAW_TOK = "list_filter(string_split_regex({c}, '\\s+'), t -> t != '')"
 
 
 def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
-              table: str = "documents") -> str:
+              table: str = "documents", tok_a: str | None = None,
+              tok_b: str | None = None, min_copy: int | None = None,
+              joiner: str = " ", pre_cte: str = "",
+              tok_table: str | None = None) -> str:
     """CTE chain replaying ``spans.greedy_spans`` + ``spans.extract_spans``
     (the non-SQL-expressible-looking kernel) as a DuckDB **recursive CTE**:
 
@@ -240,6 +243,16 @@ def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
     best-base pairs (dedup_spans) and the cluster-representative pairs
     (dedup_roundtrip_check) share the machinery.
 
+    The *token domain* is parameterized too (``tok_a``/``tok_b``: SQL list
+    expressions over aliases ``da``/``db``; ``min_copy``; ``joiner``;
+    ``tok_table`` redirects the two ``sp_toks`` joins at a CTE injected
+    via ``pre_cte``): the token-level span lane uses whitespace tokens,
+    and the byte-delta lane (``bytedelta.py``) reuses the identical greedy
+    machinery over content-defined byte chunks encoded as hex strings —
+    the matcher only needs list element equality. ``pre_cte`` exists
+    because DuckDB cannot resolve a correlated column through nested
+    derived tables, so the chunker must be a standalone staged CTE.
+
     Bit-exactness argument: all values are integers and strings; the only
     float op is the OMIT ratio, computed with the identical IEEE-754 double
     division on both sides. Verified instruction-for-instruction against
@@ -247,7 +260,9 @@ def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
     """
     from .spans import MAX_POSITIONS_PER_TOKEN, MIN_COPY_LEN
 
-    min_copy, max_pos, omit = MIN_COPY_LEN, MAX_POSITIONS_PER_TOKEN, cfg.omit_low_delta
+    if min_copy is None:
+        min_copy = MIN_COPY_LEN
+    max_pos, omit = MAX_POSITIONS_PER_TOKEN, cfg.omit_low_delta
     cand = (
         "list_filter(generate_series(0, len(p.A) - 1), "
         f"q -> p.A[q + 1] = p.B[s.i + 1])[1 : {max_pos}]"
@@ -260,16 +275,19 @@ def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
     )
     best_l = f"list_max(list_transform({cand}, q -> {ext.format(P='q')}))"
     best_a = f"list_filter({cand}, q -> {ext.format(P='q')} = ({best_l}))[1]"
-    tok_a = _RAW_TOK.format(c="da.text")
-    tok_b = _RAW_TOK.format(c="db.text")
+    if tok_a is None:
+        tok_a = _RAW_TOK.format(c="da.text")
+    if tok_b is None:
+        tok_b = _RAW_TOK.format(c="db.text")
+    tok_tbl = tok_table or table
     return f"""
-span_pairs AS ({pair_sel}),
+{pre_cte}span_pairs AS ({pair_sel}),
 sp_toks AS MATERIALIZED (
   SELECT sp.sp_base AS id_a, sp.sp_target AS id_b,
          {tok_a} AS A, {tok_b} AS B
   FROM span_pairs sp
-  JOIN {table} da ON da.{id_col} = sp.sp_base
-  JOIN {table} db ON db.{id_col} = sp.sp_target
+  JOIN {tok_tbl} da ON da.{id_col} = sp.sp_base
+  JOIN {tok_tbl} db ON db.{id_col} = sp.sp_target
 ),
 sp_steps AS (
   SELECT id_a, id_b, 0 AS i,
@@ -311,7 +329,7 @@ sp_instrs0 AS MATERIALIZED (
   FROM sp_copies
   UNION ALL
   SELECT i.id_a, i.id_b, 'INSERT', -1, i.b_off, i.length,
-         array_to_string(p.B[i.b_off + 1 : i.b_off + i.length], ' ')
+         array_to_string(p.B[i.b_off + 1 : i.b_off + i.length], '{joiner}')
   FROM sp_inserts i JOIN sp_toks p ON p.id_a = i.id_a AND p.id_b = i.id_b
 ),
 sp_matched AS (
@@ -332,7 +350,7 @@ sp_spans AS MATERIALIZED (
   FROM (
     SELECT i.* FROM sp_instrs0 i ANTI JOIN sp_low l ON l.id_a = i.id_a AND l.id_b = i.id_b
     UNION ALL
-    SELECT l.id_a, l.id_b, 'INSERT', -1, 0, l.nb, array_to_string(p.B, ' ')
+    SELECT l.id_a, l.id_b, 'INSERT', -1, 0, l.nb, array_to_string(p.B, '{joiner}')
     FROM sp_low l JOIN sp_toks p ON p.id_a = l.id_a AND p.id_b = l.id_b
   )
 )"""
@@ -353,10 +371,11 @@ CLUSTER_PAIR_SEL = """
 
 
 def span_stage_query(cfg: DedupConfig, select: str, pair_sel: str = BEST_BASE_PAIR_SEL,
-                     id_col: str = "doc_id", table: str = "documents") -> str:
+                     id_col: str = "doc_id", table: str = "documents",
+                     **span_kw) -> str:
     return (
         f"WITH RECURSIVE {pipeline_ctes(cfg, id_col, table)},"
-        f"{span_ctes(cfg, pair_sel, id_col, table)}\n{select}"
+        f"{span_ctes(cfg, pair_sel, id_col, table, **span_kw)}\n{select}"
     )
 
 

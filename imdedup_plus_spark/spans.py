@@ -49,12 +49,16 @@ SPAN_SCHEMA_STR_IDS = SPAN_SCHEMA.replace("id_a long, id_b long", "id_a string, 
 
 def greedy_spans(base_tokens: list[str], tgt_tokens: list[str],
                  min_copy: int = MIN_COPY_LEN,
-                 max_pos: int = MAX_POSITIONS_PER_TOKEN):
+                 max_pos: int = MAX_POSITIONS_PER_TOKEN,
+                 joiner: str = " "):
     """Pure-python greedy matcher (mirrors ``idelta.c:59-132`` in 1-D).
 
     Returns a list of instructions ``(kind, a_off, b_off, length, payload)``
-    where payload is the space-joined inserted tokens (None for COPY).
+    where payload is the ``joiner``-joined inserted tokens (None for COPY).
     Deterministic: longest extension wins, ties -> smallest a_off.
+    The token domain is opaque — the byte-delta lane (``bytedelta.py``)
+    reuses this matcher over fixed-size payload blocks hex-encoded as
+    strings with ``joiner=""``.
     """
     index: dict[str, list[int]] = {}
     for pos, tok in enumerate(base_tokens):
@@ -71,7 +75,7 @@ def greedy_spans(base_tokens: list[str], tgt_tokens: list[str],
         if upto > ins_start:
             out.append(
                 ("INSERT", -1, ins_start, upto - ins_start,
-                 " ".join(tgt_tokens[ins_start:upto]))
+                 joiner.join(tgt_tokens[ins_start:upto]))
             )
 
     while i < nB:
