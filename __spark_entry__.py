@@ -256,6 +256,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     invariant, the jpeg.c:16-122 lossless-decode analog) ---
     q["mm_html_extract"] = lambda spark, sf: MM.html_extract_roundtrip(_docs(spark, sf), ID)
 
+    # --- REAL image/video codec lane (png.py, stdlib-zlib PNG): synth
+    #     per-doc pixels -> encode (all 5 filters) -> decode -> stats;
+    #     oracle recomputes stats from the pixel arithmetic with NO codec,
+    #     so parity proves encode/inflate/unfilter/resize/container-parse
+    #     (CHECK_DECOMPRESS discipline, jpeg.c:583-603) ---
+    q["mm_png_roundtrip"] = lambda spark, sf: MM.png_roundtrip_stats(_docs(spark, sf), ID)
+    q["mm_png_resize"] = lambda spark, sf: MM.png_resize_stats(_docs(spark, sf), ID)
+    q["mm_frame_sample"] = lambda spark, sf: MM.frame_sample_stats(_docs(spark, sf), ID)
+
+    # --- REAL audio codec lane (wav.py, RIFF PCM): synth int16 samples ->
+    #     container write -> parse -> integer features; oracled the same
+    #     way (DuckDB recomputes features from the sample arithmetic) ---
+    q["mm_wav_features"] = lambda spark, sf: MM.wav_features(_docs(spark, sf), ID)
+
     # --- content-defined chunking lane (rabin/gear feature variants,
     #     2df.c:272-396): divisor-test boundaries over the shingle stream,
     #     chunk fingerprints, cross-document shared segments ---
@@ -577,6 +591,10 @@ FROM (
         ),
         "dedup_byte_roundtrip_check": BD.byte_roundtrip_sql(CFG, id_col=ID),
         "mm_html_extract": MM.html_extract_roundtrip_sql(ID),
+        "mm_png_roundtrip": MM.png_roundtrip_sql(ID),
+        "mm_png_resize": MM.png_resize_sql(ID),
+        "mm_frame_sample": MM.frame_sample_sql(ID),
+        "mm_wav_features": MM.wav_features_sql(ID),
         "dedup_cdc_chunks": CH.cdc_stage_query(
             CFG,
             "SELECT id AS doc_id, chunk_id, chunk_hash, chunk_len FROM cdc_chunks",

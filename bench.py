@@ -74,13 +74,15 @@ def build_queries(spark, sf_dir):
         _force(T.simhash_kernel(docs, ID))
 
     def q_cosine_topk():
-        _force(ann.cosine_topk_kernel(emb))
+        # the shipped contract lane (distributed blocked kernel, no driver
+        # collect) — the collect-based *_kernel twins are test-only oracles
+        _force(ann.cosine_topk_blocked(emb))
 
     def q_simhash_pairs():
         _force(T.simhash_pairs_kernel(docs, ID))
 
     def q_cosine_neardup():
-        _force(ann.cosine_neardup_pairs_kernel(emb))
+        _force(ann.cosine_neardup_pairs_blocked(emb))
 
     def q_tpch_pricing():
         from pyspark.sql import functions as F

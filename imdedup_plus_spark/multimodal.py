@@ -12,11 +12,16 @@ needs, treating media as opaque bytes + typed metadata:
   Identical rules ship three ways: Spark built-ins (JVM hot path), Python
   ``re`` (Arrow kernel), DuckDB SQL (oracle);
 * ``binary_metadata`` — REAL: size/prefix metadata over any binary column;
-* ``decode_image`` / ``resize_image`` / ``sample_frames`` — STUBS: the
-  image/audio libraries are not in this container. The Spark-side plumbing
-  (schema, batch shape, partitioning) is real and tested via the
-  deterministic fake; the codec call itself raises ``NotImplementedError``
-  unless ``deterministic_fake=True``.
+* ``decode_image`` / ``resize_image`` / ``sample_frames`` — REAL for PNG
+  payloads via the from-scratch stdlib-zlib codec (``png.py``): decode is
+  CRC-verified inflate + unfilter, resize is nearest-neighbor with
+  oracle-replayable floor index math, frame sampling parses a
+  length-prefixed container format. The ``mm_png_*`` driver queries are
+  oracled end to end: DuckDB recomputes the decoded-pixel statistics
+  straight from the synthetic-pixel arithmetic, so a codec bug anywhere
+  breaks bit-parity. JPEG payloads raise ``NotImplementedError`` — no
+  JPEG library exists in this container (the reference's own JPEG lane,
+  ``/root/reference/jpeg.c:16-122``, needs one).
 """
 
 from __future__ import annotations
@@ -171,61 +176,111 @@ def binary_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     )
 
 
-_IMG_FEATURE_DIM = 8
+# ---------------------------------------------------------------------------
+# Image / video operators — REAL codec path (imdedup_plus_spark.png: pure
+# stdlib-zlib PNG, ISO/IEC 15948). The reference decodes JPEG containers to
+# DCT planes (/root/reference/jpeg.c:16-122); no JPEG library exists in
+# this container, so JPEG payloads raise NotImplementedError with the PNG
+# path demonstrating the full decode/transform/verify machinery for real.
+# ---------------------------------------------------------------------------
+
+#: pixel-value histogram bins emitted by decode_image (256/32 = 8 bins) —
+#: the integer feature vector; oracle-replayable, unlike float stats
+_IMG_HIST_BINS = 8
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+_DECODE_STAT_COLS = (
+    "width int, height int, channels int, n_pixels long, "
+    "pixel_sum long, pixel_min int, pixel_max int, hist array<long>"
+)
+
+
+def _image_stats(img) -> tuple:
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(-1).astype(np.int64)
+    hist = np.bincount(flat >> 5, minlength=_IMG_HIST_BINS)[:_IMG_HIST_BINS]
+    return (
+        int(w), int(h), int(ch), int(flat.size), int(flat.sum()),
+        int(flat.min()), int(flat.max()), [int(x) for x in hist],
+    )
 
 
 def decode_image(
-    df: DataFrame, bin_col: str, id_col: str, deterministic_fake: bool = False
+    df: DataFrame, bin_col: str, id_col: str, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """binary -> (width, height, feature array). STUB: no image codec in
-    this container. With ``deterministic_fake`` the kernel emits seeded
-    per-row fake features (hash of bytes) with the production schema, so
-    the distributed plumbing is fully exercised."""
+    """binary -> decoded-image statistics, REAL decode: PNG payloads run
+    the from-scratch codec (CRC-verified inflate + unfilter); JPEG magic
+    raises ``NotImplementedError`` (no JPEG lib in this container); other
+    payloads raise ``ValueError``. Emits integer stats + an 8-bin pixel
+    histogram — all DuckDB-replayable, so ``mm_png_roundtrip`` machine-
+    checks the codec end to end. ``carry`` forwards extra columns (e.g.
+    ``frame_idx``) through the kernel. Narrow Arrow-batched map."""
+    from .png import PNG_MAGIC, decode_png
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "run with deterministic_fake=True to exercise the plumbing"
-                )
-            ids, ws, hs, feats = [], [], [], []
-            for key, raw in zip(pdf[id_col].values, pdf[bin_col].values):
+            rows = []
+            for i, raw in enumerate(pdf[bin_col].values):
                 b = bytes(raw)
-                h = 0
-                for c in b[:256]:
-                    h = (h * 31 + c) % (2**31)
-                ids.append(key)
-                ws.append(64 + h % 512)
-                hs.append(64 + (h // 512) % 512)
-                feats.append([float((h >> (4 * i)) & 0xF) for i in range(_IMG_FEATURE_DIM)])
+                if b[:3] == _JPEG_MAGIC:
+                    raise NotImplementedError(
+                        "JPEG codec not available in this container; "
+                        "PNG payloads decode for real"
+                    )
+                if b[:8] != PNG_MAGIC:
+                    raise ValueError("decode_image: payload is not a PNG")
+                img = decode_png(b)
+                rows.append(
+                    (pdf[id_col].values[i],)
+                    + tuple(pdf[c].values[i] for c in carry)
+                    + _image_stats(img)
+                )
             yield pd.DataFrame(
-                {id_col: ids, "width": ws, "height": hs, "features": feats}
+                rows,
+                columns=[id_col, *carry, "width", "height", "channels",
+                         "n_pixels", "pixel_sum", "pixel_min", "pixel_max",
+                         "hist"],
             )
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    sch = df.schema
+    carry_sch = "".join(
+        f"{c} {sch[c].dataType.simpleString()}, " for c in carry
+    )
+    return df.select(id_col, *carry, bin_col).mapInPandas(
         fn,
-        schema=f"{id_col} {id_type}, width int, height int, features array<double>",
+        schema=(
+            f"{id_col} {sch[id_col].dataType.simpleString()}, "
+            f"{carry_sch}{_DECODE_STAT_COLS}"
+        ),
     )
 
 
 def resize_image(
-    df: DataFrame, bin_col: str, id_col: str, size: tuple[int, int] = (224, 224),
-    deterministic_fake: bool = False,
+    df: DataFrame, bin_col: str, id_col: str, size: tuple[int, int] = (224, 224)
 ) -> DataFrame:
-    """STUB resize: production schema (id, binary out, w, h)."""
+    """REAL resize: decode PNG -> nearest-neighbor resample (floor index
+    math ``src = dst * old // new``, oracle-replayable) -> re-encode PNG.
+    ``size`` is (height, width)."""
+    from .png import decode_png, encode_png, resize_nearest
+
+    new_h, new_w = size
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("image codec not available")
+            out = [
+                encode_png(resize_nearest(decode_png(bytes(raw)), new_h, new_w))
+                for raw in pdf[bin_col].values
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "resized": [bytes(raw)[:64] for raw in pdf[bin_col].values],
-                    "width": size[0],
-                    "height": size[1],
+                    "resized": out,
+                    "width": new_w,
+                    "height": new_h,
                 }
             )
 
@@ -235,31 +290,332 @@ def resize_image(
     )
 
 
+#: frame-container magic: a length-prefixed PNG stream (the deterministic
+#: stand-in for a video container — the PARSER is real, the format is ours)
+FRAME_CONTAINER_MAGIC = b"FPNG"
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """frames -> container bytes: magic + (4-byte BE length + payload)*."""
+    import struct
+
+    return FRAME_CONTAINER_MAGIC + b"".join(
+        struct.pack(">I", len(f)) + f for f in frames
+    )
+
+
+def unpack_frames(data: bytes) -> list[bytes]:
+    import struct
+
+    if data[:4] != FRAME_CONTAINER_MAGIC:
+        raise ValueError("not a frame container (bad magic)")
+    out, pos = [], 4
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        out.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return out
+
+
 def sample_frames(
-    df: DataFrame, bin_col: str, id_col: str, every_n: int = 30,
-    deterministic_fake: bool = False,
+    df: DataFrame, bin_col: str, id_col: str, every_n: int = 2
 ) -> DataFrame:
-    """STUB video frame sampling: one output row per sampled frame —
-    demonstrates the 1->N explode shape of media pipelines."""
+    """REAL container parse + frame sampling: walk the length-prefixed
+    frame stream, keep every ``every_n``-th frame, one output row per kept
+    frame — the 1->N explode shape of media pipelines. Downstream
+    ``decode_image(..., carry=("frame_idx",))`` decodes the kept frames."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("video codec not available")
             ids, fidx, frames = [], [], []
             for key, raw in zip(pdf[id_col].values, pdf[bin_col].values):
-                b = bytes(raw)
-                n_frames = max(1, len(b) // (every_n * 16))
-                for i in range(min(n_frames, 4)):
-                    ids.append(key)
-                    fidx.append(i * every_n)
-                    frames.append(b[i * 16 : i * 16 + 16])
+                for i, frame in enumerate(unpack_frames(bytes(raw))):
+                    if i % every_n == 0:
+                        ids.append(key)
+                        fidx.append(i)
+                        frames.append(frame)
             yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "frame": frames})
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, bin_col).mapInPandas(
         fn, schema=f"{id_col} {id_type}, frame_idx int, frame binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic media — the driver testdata carries no image or
+# video columns, so the media queries derive per-doc pixels from integer
+# arithmetic on (doc_id, frame, row, col). The codec work is real; the
+# DuckDB oracle recomputes the same statistics directly from the
+# arithmetic, so ANY bug in encode/filter/inflate/unfilter/resize/container
+# parsing breaks bit-parity (the CHECK_DECOMPRESS discipline,
+# /root/reference/jpeg.c:583-603).
+# ---------------------------------------------------------------------------
+
+#: synthetic image geometry + pixel formula (shared Spark kernel <-> SQL)
+_SYN_H_MOD, _SYN_W_MOD = 9, 7
+
+
+def synth_image(doc_id: int, frame: int = 0):
+    """Gray uint8 image, h = 8 + id%9, w = 8 + id%7,
+    pixel[r][c] = (id*31 + frame*57 + r*7 + c*13) % 256."""
+    import numpy as np
+
+    h, w = 8 + doc_id % _SYN_H_MOD, 8 + doc_id % _SYN_W_MOD
+    base = (doc_id * 31 + frame * 57) % 256
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((base + r * 7 + c * 13) % 256).astype(np.uint8)
+
+
+def synth_png_df(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, png binary): per-doc synthetic image encoded with filter
+    ``row % 5`` — every PNG filter type appears in every image, so the
+    decode side exercises all five unfilter paths."""
+    from .png import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pngs = []
+            for did in pdf[id_col].values:
+                img = synth_image(int(did))
+                pngs.append(encode_png(img, filters=[r % 5 for r in range(img.shape[0])]))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "png": pngs})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, png binary"
+    )
+
+
+def synth_video_df(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, video binary): frame container of 1 + id%4 synthetic frames."""
+    from .png import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for did in pdf[id_col].values:
+                did = int(did)
+                frames = [
+                    encode_png(synth_image(did, f), filters=[r % 5 for r in range(8 + did % _SYN_H_MOD)])
+                    for f in range(1 + did % 4)
+                ]
+                vids.append(pack_frames(frames))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "video": vids})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, video binary"
+    )
+
+
+def _mean_col(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "mean_value", F.round(F.col("pixel_sum") / F.col("n_pixels"), 6)
+    )
+
+
+def png_roundtrip_stats(docs: DataFrame, id_col: str) -> DataFrame:
+    """Flagship media query: synth image -> PNG (all 5 filters) -> REAL
+    decode -> integer stats. Oracled: DuckDB computes the stats from the
+    pixel formula without any codec, so parity proves the codec."""
+    return _mean_col(decode_image(synth_png_df(docs, id_col), "png", id_col))
+
+
+def png_resize_stats(
+    docs: DataFrame, id_col: str, size: tuple[int, int] = (6, 10)
+) -> DataFrame:
+    """synth -> encode -> decode -> NN-resize -> re-encode -> decode ->
+    stats. Two full codec roundtrips plus the resize index math."""
+    resized = resize_image(synth_png_df(docs, id_col), "png", id_col, size=size)
+    return _mean_col(decode_image(resized, "resized", id_col))
+
+
+def frame_sample_stats(
+    docs: DataFrame, id_col: str, every_n: int = 2
+) -> DataFrame:
+    """synth video -> container parse -> sample every ``every_n``-th frame
+    -> decode each kept frame -> per-frame stats."""
+    sampled = sample_frames(synth_video_df(docs, id_col), "video", id_col, every_n)
+    return _mean_col(decode_image(sampled, "frame", id_col, carry=("frame_idx",)))
+
+
+def _syn_px_sql(did: str, frame: str, row: str, col: str) -> str:
+    return f"(({did}*31 + ({frame})*57 + ({row})*7 + ({col})*13) % 256)"
+
+
+def _syn_stats_sql(px: str) -> str:
+    """SELECT-list fragment computing the decode_image stats over a pixel
+    list expression aliased ``px`` (types matched to the Spark schema)."""
+    return f"""
+  CAST(len({px}) AS BIGINT) AS n_pixels,
+  CAST(list_sum({px}) AS BIGINT) AS pixel_sum,
+  CAST(list_min({px}) AS INT) AS pixel_min,
+  CAST(list_max({px}) AS INT) AS pixel_max,
+  list_transform(generate_series(0, {_IMG_HIST_BINS - 1}),
+                 b -> CAST(len(list_filter({px}, v -> v // 32 = b)) AS BIGINT)) AS hist,
+  round(CAST(list_sum({px}) AS BIGINT) / CAST(len({px}) AS BIGINT), 6) AS mean_value"""
+
+
+def png_roundtrip_sql(id_col: str, table: str = "documents") -> str:
+    px = (
+        "flatten(list_transform(generate_series(0, h-1), r -> "
+        "list_transform(generate_series(0, w-1), c -> "
+        + _syn_px_sql(id_col, "0", "r", "c")
+        + ")))"
+    )
+    return f"""
+SELECT {id_col}, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  1 AS channels,{_syn_stats_sql("px")}
+FROM (
+  SELECT {id_col}, h, w, {px} AS px
+  FROM (SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
+               8 + {id_col} % {_SYN_W_MOD} AS w FROM {table})
+)"""
+
+
+def png_resize_sql(
+    id_col: str, size: tuple[int, int] = (6, 10), table: str = "documents"
+) -> str:
+    new_h, new_w = size
+    px = (
+        f"flatten(list_transform(generate_series(0, {new_h - 1}), r2 -> "
+        f"list_transform(generate_series(0, {new_w - 1}), c2 -> "
+        + _syn_px_sql(id_col, "0", f"(r2*h)//{new_h}", f"(c2*w)//{new_w}")
+        + ")))"
+    )
+    return f"""
+SELECT {id_col}, {new_w} AS width, {new_h} AS height,
+  1 AS channels,{_syn_stats_sql("px")}
+FROM (
+  SELECT {id_col}, {px} AS px
+  FROM (SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
+               8 + {id_col} % {_SYN_W_MOD} AS w FROM {table})
+)"""
+
+
+def decode_audio(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """binary -> audio features, REAL decode: WAV/RIFF-PCM payloads run
+    the from-scratch parser (``wav.py``); non-WAV raises. Integer features
+    (amplitude sum/min/max, zero crossings) are DuckDB-replayable — the
+    ``mm_wav_features`` query machine-checks the container writer+parser.
+    Narrow Arrow-batched map."""
+    import numpy as np
+
+    from .wav import decode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, raw in zip(pdf[id_col].values, pdf[bin_col].values):
+                samples, rate = decode_wav(bytes(raw))
+                ch = 1 if samples.ndim == 1 else samples.shape[1]
+                flat = samples.reshape(-1).astype(np.int64)
+                neg = flat < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                rows.append(
+                    (key, int(flat.size // ch), int(rate), ch,
+                     int(flat.sum()), int(flat.min()), int(flat.max()), zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "sample_rate", "channels",
+                         "amp_sum", "amp_min", "amp_max", "zero_crossings"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bin_col).mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} {id_type}, n_samples long, sample_rate int, "
+            "channels int, amp_sum long, amp_min int, amp_max int, "
+            "zero_crossings long"
+        ),
+    )
+
+
+#: synthetic mono clip: n = 256 + id%129 samples at 8 kHz,
+#: s[i] = ((id*37 + i*97) % 4001) - 2000  (int16-range, sign-varying)
+_SYN_WAV_RATE = 8000
+
+
+def synth_samples(doc_id: int):
+    import numpy as np
+
+    n = 256 + doc_id % 129
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 37 + i * 97) % 4001) - 2000).astype(np.int16)
+
+
+def synth_wav_df(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, wav binary): per-doc synthetic PCM clip through the real
+    container writer."""
+    from .wav import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = [
+                encode_wav(synth_samples(int(did)), _SYN_WAV_RATE)
+                for did in pdf[id_col].values
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "wav": wavs})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, wav binary"
+    )
+
+
+def wav_features(docs: DataFrame, id_col: str) -> DataFrame:
+    """Audio query: synth PCM -> WAV container -> REAL parse -> features,
+    plus the rounded mean amplitude (computed JVM-side both engines)."""
+    out = decode_audio(synth_wav_df(docs, id_col), "wav", id_col)
+    return out.withColumn(
+        "mean_amp", F.round(F.col("amp_sum") / F.col("n_samples"), 6)
+    )
+
+
+def wav_features_sql(id_col: str, table: str = "documents") -> str:
+    s = f"(({id_col}*37 + (i-1)*97) % 4001) - 2000"
+    return f"""
+SELECT {id_col}, CAST(n AS BIGINT) AS n_samples,
+  {_SYN_WAV_RATE} AS sample_rate, 1 AS channels,
+  CAST(list_sum(s) AS BIGINT) AS amp_sum,
+  CAST(list_min(s) AS INT) AS amp_min,
+  CAST(list_max(s) AS INT) AS amp_max,
+  CAST(len(list_filter(generate_series(1, n - 1),
+        i -> (s[i] < 0) != (s[i+1] < 0))) AS BIGINT) AS zero_crossings,
+  round(CAST(list_sum(s) AS BIGINT) / CAST(n AS BIGINT), 6) AS mean_amp
+FROM (
+  SELECT {id_col}, n, list_transform(generate_series(1, n), i -> {s}) AS s
+  FROM (SELECT {id_col}, 256 + {id_col} % 129 AS n FROM {table})
+)"""
+
+
+def frame_sample_sql(
+    id_col: str, every_n: int = 2, table: str = "documents"
+) -> str:
+    px = (
+        "flatten(list_transform(generate_series(0, h-1), r -> "
+        "list_transform(generate_series(0, w-1), c -> "
+        + _syn_px_sql(id_col, "fi", "r", "c")
+        + ")))"
+    )
+    return f"""
+SELECT {id_col}, CAST(fi AS INT) AS frame_idx,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  1 AS channels,{_syn_stats_sql("px")}
+FROM (
+  SELECT {id_col}, fi, h, w, {px} AS px
+  FROM (
+    SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
+           8 + {id_col} % {_SYN_W_MOD} AS w,
+           unnest(list_filter(generate_series(0, {id_col} % 4),
+                              f -> f % {every_n} = 0)) AS fi
+    FROM {table}
+  )
+)"""
 
 
 def text_binary_metadata(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

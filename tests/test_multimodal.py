@@ -25,29 +25,58 @@ def test_binary_metadata(spark, fixture_corpus):
     assert all(r.magic_hex == "3C68746D" for r in rows)
 
 
-def test_decode_image_stub_raises(spark, fixture_corpus):
+def test_decode_image_rejects_non_png(spark, fixture_corpus):
     docs = fixture_corpus.drop("base_id", "variant").limit(2)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+    with pytest.raises(Exception):  # ValueError surfaces as PythonException
         MM.decode_image(docs, "html", "url").collect()
 
 
-def test_decode_image_fake_plumbing(spark, fixture_corpus):
-    docs = fixture_corpus.drop("base_id", "variant").limit(8)
-    out = MM.decode_image(docs, "html", "url", deterministic_fake=True)
-    rows = out.collect()
+def test_decode_image_real_codec(spark, sf001_docs):
+    """decode_image over real PNG bytes must reproduce the source pixels'
+    statistics exactly (cross-checked in-driver against synth_image)."""
+    import numpy as np
+
+    docs = sf001_docs.limit(8)
+    rows = MM.decode_image(MM.synth_png_df(docs, "doc_id"), "png", "doc_id").collect()
     assert len(rows) == 8
-    assert all(len(r.features) == 8 for r in rows)
-    assert all(r.width >= 64 and r.height >= 64 for r in rows)
-    # deterministic: re-run yields identical rows
-    rows2 = MM.decode_image(docs, "html", "url", deterministic_fake=True).collect()
-    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+    for r in rows:
+        img = MM.synth_image(int(r["doc_id"]))
+        assert (r.height, r.width) == img.shape
+        assert r.pixel_sum == int(img.astype(np.int64).sum())
+        assert r.hist == [int(x) for x in np.bincount(img.reshape(-1) >> 5, minlength=8)]
 
 
-def test_frame_sample_fake_explodes(spark, fixture_corpus):
-    docs = fixture_corpus.drop("base_id", "variant").limit(3)
-    out = MM.sample_frames(docs, "html", "url", deterministic_fake=True).collect()
-    assert len(out) >= 3
-    assert all(len(bytes(r.frame)) <= 16 for r in out)
+def test_resize_image_real(spark, sf001_docs):
+    """resize -> decode equals in-driver resize_nearest of the source."""
+    import numpy as np
+
+    from imdedup_plus_spark.png import resize_nearest
+
+    docs = sf001_docs.limit(5)
+    resized = MM.resize_image(MM.synth_png_df(docs, "doc_id"), "png", "doc_id", size=(6, 10))
+    rows = MM.decode_image(resized, "resized", "doc_id").collect()
+    for r in rows:
+        exp = resize_nearest(MM.synth_image(int(r["doc_id"])), 6, 10)
+        assert (r.height, r.width) == (6, 10)
+        assert r.pixel_sum == int(exp.astype(np.int64).sum())
+
+
+def test_frame_sample_real_container(spark, sf001_docs):
+    """Container parse keeps exactly frames 0, 2, ... and each kept frame
+    decodes to the right per-frame pixels."""
+    import numpy as np
+
+    docs = sf001_docs.limit(6)
+    sampled = MM.sample_frames(MM.synth_video_df(docs, "doc_id"), "video", "doc_id", every_n=2)
+    rows = MM.decode_image(sampled, "frame", "doc_id", carry=("frame_idx",)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        exp = MM.synth_image(int(r["doc_id"]), int(r["frame_idx"]))
+        assert r.pixel_sum == int(exp.astype(np.int64).sum())
+    for did, rs in by_doc.items():
+        n_frames = 1 + did % 4
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n_frames, 2))
 
 
 def test_html_to_text_messy_cases():
