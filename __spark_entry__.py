@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     2df.c:272-396): divisor-test boundaries over the shingle stream,
     #     chunk fingerprints, cross-document shared segments ---
     q["dedup_cdc_chunks"] = lambda spark, sf: CH.cdc_chunks(_docs(spark, sf), CFG, ID)
+    q["dedup_gear_chunks"] = lambda spark, sf: CH.gear_chunks(_docs(spark, sf), CFG, ID)
     q["dedup_cdc_shared_chunks"] = lambda spark, sf: CH.shared_chunks(
         CH.cdc_chunks(_docs(spark, sf), CFG, ID), ID
     )
@@ -596,6 +597,11 @@ FROM (
         "mm_frame_sample": MM.frame_sample_sql(ID),
         "mm_wav_features": MM.wav_features_sql(ID),
         "dedup_cdc_chunks": CH.cdc_stage_query(
+            CFG,
+            "SELECT id AS doc_id, chunk_id, chunk_hash, chunk_len FROM cdc_chunks",
+            id_col=ID,
+        ),
+        "dedup_gear_chunks": CH.gear_stage_query(
             CFG,
             "SELECT id AS doc_id, chunk_id, chunk_hash, chunk_len FROM cdc_chunks",
             id_col=ID,

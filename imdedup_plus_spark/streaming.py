@@ -418,3 +418,130 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: per-user sessionization via
+# applyInPandasWithState (arbitrary keyed state + event-time timeouts) —
+# the Structured Streaming pattern for operators windowed aggs can't
+# express. Twin of the batch `events_sessionize` gap rule (30-min gap).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 1800
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark_delay: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionizer with arbitrary keyed state: one state tuple
+    (session start/last/event count, microseconds) per user; a session
+    CLOSES — and is emitted, exactly once, in append mode — when
+
+    * a later event of the same user arrives more than ``gap_seconds``
+      after the session's last event (closed-by-successor, any batch), or
+    * the event-time watermark (max seen ts − ``watermark_delay``) passes
+      ``last + gap_seconds`` with no successor (closed-by-timeout, so idle
+      users don't pin state forever — the state-store analog of the
+      band-store eviction story).
+
+    Same gap rule as the batch ``events_sessionize`` query; parity is
+    pytest-gated (stream over file batches == batch sessions).
+
+    Scale shape: state is partitioned by ``user_col`` (one shuffle), the
+    per-key state is three longs regardless of history length, and
+    timeouts bound state size by idleness — this is the pattern the
+    100 TB event stream needs, NOT a growing in-memory event buffer.
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        def session_row(start_us: int, last_us: int, n: int):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield session_row(start_us, last_us, n)
+            return
+
+        ts_us = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pdf[ts_col].astype("datetime64[us]").astype("int64").values
+        )
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        for t in ts_us:
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                yield session_row(start_us, last_us, n)
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+            # GroupState timestamps are epoch-millis
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``landing_dir`` (parquet event files) through the stateful
+    sessionizer with availableNow, appending closed sessions to
+    ``out_dir``. One file per micro-batch so cross-batch state transitions
+    (close-by-successor, close-by-timeout) actually happen in tests."""
+    schema = spark.read.parquet(landing_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    (
+        sessionize_stream(stream, gap_seconds=gap_seconds)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
