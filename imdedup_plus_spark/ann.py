@@ -10,6 +10,13 @@ ops are deterministic, and DuckDB's ``list_reduce`` folds in the same
 order, so Spark and the oracle produce bit-identical doubles; results are
 additionally ``round(..., 6)`` on both sides.
 
+Domain rule: **zero-norm vectors are excluded from every cosine lane and
+oracle** (``nrm > 0`` right after the norm computation). Cosine is
+undefined for them; without the guard 0/0 = NaN would enter ranking and
+thresholding, where the three engines disagree (Spark/DuckDB sort NaN
+greatest, numpy lexsort places it last; DuckDB evaluates NaN >= thr as
+true, numpy as false) — a silent parity break on any all-zero embedding.
+
 Hyperplane construction is seedless-deterministic: plane ``j`` takes its
 64 sign bits from the reference permutation constant ``K_INDEX[j]``
 (``/root/reference/2df.c:36-72``) — weight for dim d is +1 if bit d is
@@ -49,9 +56,14 @@ def cosine_topk(
     one, exactly as the reference's CHECK_DECOMPRESS oracles compression.
     """
     # norms are per-vector: compute once before the quadratic join (same
-    # left-fold order as the oracle, so doubles stay bit-identical)
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    # left-fold order as the oracle, so doubles stay bit-identical).
+    # nrm > 0 excludes zero-norm vectors from the cosine domain (cosine is
+    # undefined there; without the guard 0/0 = NaN enters the ranking, and
+    # Spark/DuckDB/numpy order NaN differently — see module docstring)
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)
     )
     a = e.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
@@ -107,6 +119,7 @@ def lsh_ann_topk(
         emb.select(F.col(id_col), F.col(vec_col))
         .withColumn("bucket", F.expr(hyperplane_bucket_expr(vec_col, n_planes, dim)))
         .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     a = e.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"), "bucket",
@@ -149,8 +162,10 @@ def cosine_topk_sql(k: int = 3, dim: int = DIM, table: str = "embeddings") -> st
     cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
-  FROM {table}
+  SELECT * FROM (
+    SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+    FROM {table}
+  ) WHERE nrm > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {cos} AS cosine
@@ -184,9 +199,11 @@ def lsh_ann_topk_sql(k: int = 3, n_planes: int = 8, dim: int = DIM,
     cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, {bucket} AS bucket,
-         sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
-  FROM {table}
+  SELECT * FROM (
+    SELECT vec_id, embedding, {bucket} AS bucket,
+           sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+    FROM {table}
+  ) WHERE nrm > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id, {cos} AS cosine
@@ -239,6 +256,8 @@ def train_ivf_codebook(
     spark = emb.sparkSession
     tr = (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("nrm", F.expr(_norm_expr("v", dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
         .orderBy("vid")
         .limit(train_max)
         .localCheckpoint(eager=True)  # sample is reused every iteration
@@ -253,7 +272,7 @@ def train_ivf_codebook(
     )
     cents = [(r["cell_id"], list(r["cvec"])) for r in init.collect()]
     zeros = f"array_repeat(CAST(0.0 AS DOUBLE), {dim})"
-    e = tr.withColumn("nrm", F.expr(_norm_expr("v", dim)))
+    e = tr  # nrm already computed (and zero-norm rows excluded) above
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, "cell_id int, cvec array<double>")
         cdf = cdf.withColumn("cnrm", F.expr(_norm_expr("cvec", dim)))
@@ -307,8 +326,10 @@ def _ivf_scored(
         )
     cdf = emb.sparkSession.createDataFrame(cents, "cell_id int, cvec array<double>")
     cdf = cdf.withColumn("cnrm", F.expr(_norm_expr("cvec", dim)))
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     cos = f"round({_dot_expr(vec_col, 'cvec', dim)} / (nrm * cnrm), 6)"
     scored = e.crossJoin(F.broadcast(cdf)).withColumn("cell_cos", F.expr(cos))
@@ -385,9 +406,11 @@ def _ivf_kmeans_ctes(n_cells: int, iters: int, train_max: int, dim: int,
     zeros = f"list_transform(generate_series(1, {dim}), d -> CAST(0.0 AS DOUBLE))"
     parts = [
         f"""tr AS (
-  SELECT vec_id AS vid, embedding AS v,
-         sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
-  FROM {table} ORDER BY vec_id ASC LIMIT {train_max}
+  SELECT * FROM (
+    SELECT vec_id AS vid, embedding AS v,
+           sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+    FROM {table}
+  ) WHERE nrm > 0 ORDER BY vid ASC LIMIT {train_max}
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vid ASC) - 1 AS INT) AS cell_id,
@@ -432,8 +455,10 @@ def _ivf_scored_sql(n_cells: int, dim: int, table: str,
     return f"""
 {_ivf_kmeans_ctes(n_cells, iters, train_max, dim, table)},
 e AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
-  FROM {table}
+  SELECT * FROM (
+    SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+    FROM {table}
+  ) WHERE nrm > 0
 ),
 seeds AS (
   SELECT cell_id, cvec, sqrt({_dot_sql('cvec', 'cvec', dim)}) AS cnrm
@@ -497,8 +522,10 @@ def cosine_neardup_pairs(
     the DuckDB oracle make the identical keep/drop decision at the
     boundary.
     """
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
@@ -523,8 +550,10 @@ def cosine_neardup_pairs_sql(
     cos = f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / (a.nrm * b.nrm), 6)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
-  FROM {table}
+  SELECT * FROM (
+    SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm
+    FROM {table}
+  ) WHERE nrm > 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM e a CROSS JOIN e b
@@ -557,8 +586,10 @@ def _blocked_vectors(
     the block count; block membership is a deterministic id hash, so the
     result set is independent of the blocking.
     """
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     n = e.count()
     if n > max_rows:
@@ -588,6 +619,21 @@ def _blocked_vectors(
         F.expr("transform(rows, r -> r.nr)").alias("nrms"),
         F.expr("flatten(transform(rows, r -> r.v))").alias("flat"),
     )
+
+
+def _block_pairs(blocks: DataFrame) -> DataFrame:
+    """Upper-triangle block-pair rows (blk_a <= blk_b) — the shared
+    blocking contract of the two blocked cosine kernels: each task scores
+    one block against another (both directions from one matmul)."""
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("nrms").alias("nrms_a"), F.col("flat").alias("flat_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("nrms").alias("nrms_b"), F.col("flat").alias("flat_b"),
+    )
+    return a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
 
 
 def _block_pair_frames(bp_pdf, dim: int):
@@ -634,15 +680,7 @@ def cosine_topk_blocked(
     from collections.abc import Iterator
 
     blocks = _blocked_vectors(emb, id_col, vec_col, dim, block_rows, max_rows)
-    a = blocks.select(
-        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-        F.col("nrms").alias("nrms_a"), F.col("flat").alias("flat_a"),
-    )
-    b = blocks.select(
-        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-        F.col("nrms").alias("nrms_b"), F.col("flat").alias("flat_b"),
-    )
-    bp = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
+    bp = _block_pairs(blocks)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -704,15 +742,7 @@ def cosine_neardup_pairs_blocked(
 
     thr = threshold_permille / 1000.0
     blocks = _blocked_vectors(emb, id_col, vec_col, dim, block_rows, max_rows)
-    a = blocks.select(
-        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-        F.col("nrms").alias("nrms_a"), F.col("flat").alias("flat_a"),
-    )
-    b = blocks.select(
-        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-        F.col("nrms").alias("nrms_b"), F.col("flat").alias("flat_b"),
-    )
-    bp = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
+    bp = _block_pairs(blocks)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -760,8 +790,10 @@ def cosine_topk_kernel(
     import pandas as pd
     from collections.abc import Iterator
 
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     rows = e.collect()
     all_ids = np.array([r[0] for r in rows])
@@ -823,8 +855,10 @@ def cosine_neardup_pairs_kernel(
     import pandas as pd
     from collections.abc import Iterator
 
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "nrm", F.expr(_norm_expr(vec_col, dim))
+    e = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
+        .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
     rows = e.collect()
     all_ids = np.array([r[0] for r in rows])

@@ -165,10 +165,14 @@ def byte_span_summary(spans: DataFrame) -> DataFrame:
             .cast("long").alias("copied_chunks"),
             F.sum(F.when(F.col("kind") == "INSERT", F.col("length")).otherwise(0))
             .cast("long").alias("inserted_chunks"),
+            # per-row integer floor, THEN sum — identical arithmetic to the
+            # oracle's sum(len(payload) // 2) (CLAUDE.md: floor() not CAST;
+            # sum-then-truncate would diverge on odd-length payloads)
             F.sum(
                 F.when(
-                    F.col("kind") == "INSERT", F.length("payload") / 2
-                ).otherwise(0)
+                    F.col("kind") == "INSERT",
+                    F.floor(F.length("payload") / 2),
+                ).otherwise(F.lit(0))
             ).cast("long").alias("inserted_bytes"),
             F.count(F.lit(1)).cast("long").alias("n_instructions"),
         )

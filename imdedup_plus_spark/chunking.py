@@ -175,14 +175,17 @@ def shared_chunks(chunks: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cdc_chunks_ctes(divisor: int = CDC_DIVISOR, remainder: int = CDC_REMAINDER) -> str:
-    """CTEs over the pipeline chain's ``sh`` stage (id, shingles) replaying
-    ``cdc_chunks`` bit-for-bit (same fold combiner + init as Spark's
-    ``aggregate(..., 0L, ...)`` — ``list_reduce`` with a prepended 0)."""
+def _chunk_ctes(boundary_expr: str) -> str:
+    """Shared CTE skeleton of both chunker oracles: per-position boundary
+    flag (``boundary_expr`` is a SQL expression over ``id``/``shingles``/
+    ``i`` yielding 0/1), cumulative-boundary chunk ids, ordered chunk-hash
+    fold (same combiner + init as Spark's ``aggregate(..., 0L, ...)`` —
+    ``list_reduce`` with a prepended 0). Single source so a fix to the
+    window or the fold cannot drift between the rabin and gear oracles."""
     return f"""
 cdc_pos AS (
   SELECT id, i - 1 AS pos, shingles[i] AS fp,
-         CASE WHEN shingles[i] % {divisor} = {remainder} THEN 1 ELSE 0 END AS boundary
+         {boundary_expr} AS boundary
   FROM (
     SELECT id, shingles, unnest(generate_series(1, len(shingles))) AS i
     FROM sh WHERE len(shingles) > 0
@@ -202,6 +205,14 @@ cdc_chunks AS (
          CAST(count(*) AS BIGINT) AS chunk_len
   FROM cdc_chunked GROUP BY 1, 2
 )"""
+
+
+def cdc_chunks_ctes(divisor: int = CDC_DIVISOR, remainder: int = CDC_REMAINDER) -> str:
+    """CTEs over the pipeline chain's ``sh`` stage (id, shingles) replaying
+    ``cdc_chunks`` bit-for-bit — the rabin-style prime-divisor boundary."""
+    return _chunk_ctes(
+        f"CASE WHEN shingles[i] % {divisor} = {remainder} THEN 1 ELSE 0 END"
+    )
 
 
 def cdc_stage_query(
@@ -227,29 +238,7 @@ def gear_chunks_ctes(mask_bits: int = GEAR_MASK_BITS) -> str:
         f"shingles[greatest(1, i - {GEAR_WINDOW - 1}) : i]), "
         f"(acc, h) -> (acc * 2 + h) % {HASH_MOD})"
     )
-    return f"""
-cdc_pos AS (
-  SELECT id, i - 1 AS pos, shingles[i] AS fp,
-         CASE WHEN ({g}) < {thresh} THEN 1 ELSE 0 END AS boundary
-  FROM (
-    SELECT id, shingles, unnest(generate_series(1, len(shingles))) AS i
-    FROM sh WHERE len(shingles) > 0
-  )
-),
-cdc_chunked AS (
-  SELECT id, pos, fp,
-         CAST(sum(boundary) OVER (PARTITION BY id ORDER BY pos
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - boundary AS INT)
-           AS chunk_id
-  FROM cdc_pos
-),
-cdc_chunks AS (
-  SELECT id, chunk_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), list(fp ORDER BY pos)),
-                     (acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD}) AS chunk_hash,
-         CAST(count(*) AS BIGINT) AS chunk_len
-  FROM cdc_chunked GROUP BY 1, 2
-)"""
+    return _chunk_ctes(f"CASE WHEN ({g}) < {thresh} THEN 1 ELSE 0 END")
 
 
 def gear_stage_query(

@@ -33,16 +33,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .signatures import WS_CLASS
+
 
 #: block-removal patterns, applied in order BEFORE the generic tag strip
 #: (a script body may contain '<' that is not markup). Shared verbatim by
 #: the Spark (Java regex), Python (re), and DuckDB (RE2) implementations —
 #: only constructs all three dialects support identically: inline (?is)
 #: flags, non-greedy .*?, optional attribute group.
+#: whitespace is spelled as the explicit canonical class (Java \s), not \s,
+#: because the three engines disagree on \s — see ``signatures.WS_CLASS``.
+#: These pattern strings are engine-ready as-is in all three dialects
+#: (pyspark regexp args reach Java uninterpreted; DuckDB standard literals
+#: keep backslashes; Python re reads them directly).
+_WS = WS_CLASS
 _HTML_BLOCK_PATTERNS = [
-    r"(?is)<head(\s[^>]*)?>.*?</head\s*>",
-    r"(?is)<script(\s[^>]*)?>.*?</script\s*>",
-    r"(?is)<style(\s[^>]*)?>.*?</style\s*>",
+    rf"(?is)<head({_WS}[^>]*)?>.*?</head{_WS}*>",
+    rf"(?is)<script({_WS}[^>]*)?>.*?</script{_WS}*>",
+    rf"(?is)<style({_WS}[^>]*)?>.*?</style{_WS}*>",
     r"(?s)<!--.*?-->",
 ]
 _HTML_TAG_PATTERN = r"<[^>]+>"
@@ -65,7 +73,7 @@ def html_to_text_col(col: "F.Column") -> "F.Column":
     c = F.regexp_replace(c, _HTML_TAG_PATTERN, " ")
     for ent, ch in _HTML_ENTITIES:
         c = F.regexp_replace(c, ent, ch)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, _WS + "+", " "))
 
 
 def html_to_text_sql(expr: str) -> str:
@@ -78,7 +86,7 @@ def html_to_text_sql(expr: str) -> str:
     for ent, ch in _HTML_ENTITIES:
         ch_sql = ch.replace("'", "''")
         c = f"regexp_replace({c}, '{ent}', '{ch_sql}', 'g')"
-    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({c}, '{_WS}+', ' ', 'g'))"
 
 
 def html_to_text_py(s: str) -> str:
@@ -90,7 +98,10 @@ def html_to_text_py(s: str) -> str:
     s = re.sub(_HTML_TAG_PATTERN, " ", s)
     for ent, ch in _HTML_ENTITIES:
         s = s.replace(ent, ch)
-    return re.sub(r"\s+", " ", s).strip()
+    # strip(" ") not strip(): after the collapse the edges are plain
+    # spaces, and Spark/DuckDB trim() remove only ' ' — Python's default
+    # strip() would additionally eat Unicode whitespace neither engine does
+    return re.sub(_WS + "+", " ", s).strip(" ")
 
 
 def extract_text_df(df: DataFrame, html_col: str = "html", id_col: str = "url") -> DataFrame:

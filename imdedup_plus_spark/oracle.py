@@ -18,11 +18,15 @@ Equivalences relied on (each covered by tests/test_oracle_parity.py):
 from __future__ import annotations
 
 from .config import HASH_MOD, PERM_P, SHINGLE_MULT, WORD_MULT, DedupConfig
+from .signatures import WS_CLASS
 
 
 def tokens_sql(text_col: str) -> str:
+    # explicit ASCII whitespace class, NOT RE2 \s: RE2 \s lacks \x0B while
+    # Java \s (the Spark tokenizer) includes it — see signatures.WS_CLASS
     return (
-        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t != '')"
+        f"list_filter(string_split_regex(lower({text_col}), '{WS_CLASS}+'), "
+        f"t -> t != '')"
     )
 
 
@@ -210,10 +214,12 @@ def stage_query(cfg: DedupConfig, select: str, id_col: str = "doc_id",
 # Span-lane oracle: recursive-CTE replay of the greedy matcher
 # ---------------------------------------------------------------------------
 
-#: raw (case-preserving) tokenization — the Python kernel uses str.split()
-#: (imdedup_plus_spark/spans.py extract_spans); for ASCII whitespace this is
-#: exactly split-on-\s+ with empties dropped
-_RAW_TOK = "list_filter(string_split_regex({c}, '\\s+'), t -> t != '')"
+#: raw (case-preserving) tokenization — the Python kernel uses
+#: ``signatures.ascii_tokens`` (the canonical whitespace class), so the
+#: replay here spells the identical class instead of RE2's narrower \s
+_RAW_TOK = (
+    "list_filter(string_split_regex({c}, '" + WS_CLASS + "+'), t -> t != '')"
+)
 
 
 def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",

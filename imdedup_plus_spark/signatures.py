@@ -41,10 +41,37 @@ from .config import (
 # Spark SQL expression builders (shared arithmetic with oracle.py)
 # ---------------------------------------------------------------------------
 
+#: canonical whitespace = Java's \s = [ \t\n\x0B\f\r], spelled as an explicit
+#: class in EVERY dialect because the three regex engines disagree on \s:
+#: Java \s is exactly this class, RE2 (DuckDB) \s lacks \x0B, and Python's
+#: str.split()/re \s add Unicode whitespace (\xa0,  , ...) — any of
+#: which silently breaks kernel/oracle bit-parity on exotic-whitespace text.
+#: This string is engine-ready regex source: pass it directly to Python re,
+#: to pyspark regexp functions (pattern args go to Java uninterpreted), and
+#: into DuckDB single-quoted literals (standard SQL keeps backslashes).
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+#: the same class escaped for embedding inside a *Spark SQL string literal*
+#: (Spark's parser treats backslash as an escape, so each must be doubled)
+WS_CLASS_SQL_LIT = WS_CLASS.replace("\\", "\\\\")
+
+_WS_RE = None  # compiled lazily so importing this module stays cheap
+
+
+def ascii_tokens(s: str) -> list[str]:
+    """Split on the canonical ASCII whitespace class, empties dropped —
+    the Python twin of ``tokens_expr`` / ``oracle.tokens_sql`` (NOT
+    ``str.split()``, which also splits on Unicode whitespace)."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(WS_CLASS + "+")
+    return [t for t in _WS_RE.split(s) if t]
+
 
 def tokens_expr(text_col: str) -> str:
     """Lowercased whitespace tokens, empty strings dropped."""
-    return f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return f"filter(split(lower({text_col}), '{WS_CLASS_SQL_LIT}+'), t -> t != '')"
 
 
 def word_hash_lambda(var: str = "w") -> str:
@@ -179,7 +206,7 @@ def explode_bands(sig_df: DataFrame, cfg: DedupConfig, id_col: str) -> DataFrame
 
 def _sig_of_text_py(text: str, cfg: DedupConfig) -> list[int] | None:
     """Pure-python reference of the signature arithmetic (for tests/kernel)."""
-    toks = [t for t in text.lower().split() if t]
+    toks = ascii_tokens(text.lower())
     if len(toks) < max(cfg.min_tokens, cfg.shingle_window):
         return None
     whs = []
@@ -261,7 +288,7 @@ def signature_kernel_arrow(
             ):
                 if langs is not None and lang_vals[i] not in langs:
                     continue
-                toks = str(text).lower().split()
+                toks = ascii_tokens(str(text).lower())
                 if len(toks) < min_toks:
                     continue
                 wh = np.array([wh_of(t) for t in toks], dtype=np.uint64)

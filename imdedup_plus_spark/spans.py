@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
+from .signatures import ascii_tokens
 
 #: minimum COPY run length in tokens (a 1-token COPY is noise, unlike the
 #: reference's 128-byte JBLOCKs where a single block match is significant)
@@ -102,8 +103,10 @@ def extract_spans(pair_texts: DataFrame, cfg: DedupConfig,
     """``(id_a, id_b, text_a, text_b)`` -> span instruction rows.
 
     ``text_a`` is the base, ``text_b`` the target. Tokenization here is
-    case-preserving ``str.split()`` so the round-trip reproduces the
-    original token stream (signatures use their own lowercased tokens).
+    case-preserving ``ascii_tokens`` (the canonical ASCII whitespace
+    class — identical splitting rule in the DuckDB span oracle) so the
+    round-trip reproduces the original token stream (signatures use their
+    own lowercased tokens).
     """
     min_copy, max_pos = MIN_COPY_LEN, MAX_POSITIONS_PER_TOKEN
     omit = cfg.omit_low_delta
@@ -115,7 +118,7 @@ def extract_spans(pair_texts: DataFrame, cfg: DedupConfig,
                 pdf["id_a"].values, pdf["id_b"].values,
                 pdf["text_a"].values, pdf["text_b"].values,
             ):
-                A, B = str(ta).split(), str(tb).split()
+                A, B = ascii_tokens(str(ta)), ascii_tokens(str(tb))
                 instrs = greedy_spans(A, B, min_copy, max_pos)
                 matched = sum(l for k, _, _, l, _ in instrs if k == "COPY")
                 if B and matched / len(B) < omit:
@@ -211,10 +214,10 @@ def reconstruct_targets(spans: DataFrame, docs: DataFrame, id_col: str) -> DataF
                 for row in instr_list:  # sorted by instr_id (first struct field)
                     if row["kind"] == "COPY":
                         if A is None:
-                            A = str(base_text).split()
+                            A = ascii_tokens(str(base_text))
                         buf.extend(A[row["a_off"] : row["a_off"] + row["length"]])
                     elif row["payload"]:
-                        buf.extend(str(row["payload"]).split())
+                        buf.extend(ascii_tokens(str(row["payload"])))
                 ids.append(id_b)
                 texts.append(" ".join(buf))
             yield pd.DataFrame({"id_b": ids, "reconstructed_text": texts})

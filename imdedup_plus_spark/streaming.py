@@ -28,12 +28,15 @@ then insert self) as incremental DataFrame dataflow:
   (one row per touched bucket per epoch) instead of being recomputed by
   scanning the full band store;
 * **idempotent replays**: ``foreachBatch`` is at-least-once, so every
-  state write is partitioned by ``epoch`` and written with dynamic
-  partition overwrite — a crash between writes and the stream-checkpoint
-  commit replays the batch, and the replay *rewrites* its epoch
-  partitions instead of re-appending (no duplicated pairs, no inflated
-  bucket sizes). A per-epoch manifest written after all four stores
-  commit short-circuits clean replays entirely.
+  state write is partitioned by ``epoch``; a replay first CLEARS the
+  epoch's partitions (a crashed attempt may have left partials — possibly
+  for a different batch) and then rewrites them (no duplicated pairs, no
+  inflated bucket sizes). A per-epoch manifest recording the epoch's
+  **batch fingerprint** is written after all four stores commit: a clean
+  replay of the same batch short-circuits to a no-op, while an epoch
+  NUMBER collision with a different batch (checkpoint/state_dir mismatch)
+  raises instead of silently dropping data; consumers (``read_pairs``)
+  only see manifest-committed epochs.
 
 Incremental output == batch output **in the uncapped case** (no bucket
 ever crosses ``bucket_cap``): a pair (a, b) is emitted exactly when its
@@ -239,12 +242,15 @@ def incremental_dedup_batch(
     * ``_epochs/``      one manifest json per committed epoch, written
       LAST — the write-ahead ordering that makes a clean replay a no-op
 
-    Idempotency (foreachBatch is at-least-once): every store write is a
-    dynamic partition overwrite keyed by ``epoch``, so a replay after a
-    crash between writes *rewrites* the partial epoch partitions instead
-    of re-appending; prior epochs are explicitly excluded from the state
-    reads (``epoch != epoch_id`` guards against reading this epoch's own
-    partial leftovers during a replay).
+    Idempotency (foreachBatch is at-least-once): the manifest records the
+    batch FINGERPRINT (row count + id-hash sum), so a clean replay of a
+    committed epoch no-ops while an epoch-number collision with a
+    different batch raises; an uncommitted epoch's partitions are cleared
+    before writing (a crashed attempt may have written partials for a
+    different batch, which dynamic overwrite alone would orphan); prior
+    epochs are explicitly excluded from the state reads (``epoch !=
+    epoch_id`` guards against reading this epoch's own partial leftovers
+    during a replay).
 
     Probe I/O is proportional to the batch: the band store and the delta
     table are read only for the ``bh_part`` values the new batch's bands
@@ -254,19 +260,52 @@ def incremental_dedup_batch(
     """
     import json
     import os
+    import shutil
 
     spark = batch_df.sparkSession
     sig_store = f"{state_dir}/signatures"
     bands_store = f"{state_dir}/bands"
     deltas_store = f"{state_dir}/bucket_deltas"
     pairs_store = f"{state_dir}/pairs"
+    stores = (pairs_store, bands_store, deltas_store, sig_store)
 
     if epoch_id is None:
         done = processed_epochs(state_dir)
         epoch_id = (done[-1] + 1) if done else 0
+
+    # Batch identity, not just the epoch NUMBER: a committed manifest
+    # short-circuits a replay only when it was the SAME batch (one cheap
+    # narrow scan of the id column). Without this, a fresh stream
+    # checkpoint pointed at an existing state_dir restarts epochs at 0 and
+    # every new batch would silently no-op against the old manifests.
+    # bit_xor, not sum: order-independent like sum but cannot overflow
+    # under ANSI mode (sum of ~uniform int64 hashes overflows at ~2 rows)
+    fp_row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+    ).collect()[0]
+    batch_fp = f"{fp_row['n']}:{fp_row['h']}"
+
     manifest = _epoch_manifest(state_dir, epoch_id)
     if os.path.exists(manifest):
-        return  # clean replay of a committed epoch: no-op
+        with open(manifest) as fh:
+            committed = json.load(fh)
+        if committed.get("batch_fp") == batch_fp:
+            return  # clean replay of a committed epoch: no-op
+        raise ValueError(
+            f"epoch {epoch_id} is already committed for a DIFFERENT batch "
+            f"(manifest fp {committed.get('batch_fp')!r} != {batch_fp!r}): "
+            "the stream checkpoint and the state_dir are out of sync — "
+            "reuse the original checkpoint dir or start a fresh state_dir"
+        )
+
+    # A crashed epoch may have left partial partitions; a replay can carry
+    # a DIFFERENT batch (e.g. direct-call flow with new inputs), and
+    # dynamic overwrite only rewrites the partitions present in the new
+    # batch — clear the whole epoch first so no orphan (epoch, bh_part)
+    # slice from the crashed attempt survives into the committed state.
+    for store in stores:
+        shutil.rmtree(os.path.join(store, f"epoch={epoch_id}"), ignore_errors=True)
 
     sig_new = S.signature_kernel_arrow(batch_df, cfg, id_col)
     sig_new = sig_new.localCheckpoint(eager=True)  # compute once: probed AND written
@@ -350,7 +389,14 @@ def incremental_dedup_batch(
     os.makedirs(os.path.dirname(manifest), exist_ok=True)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"epoch": epoch_id, "touched_bh_parts": sorted(touched)}, fh)
+        json.dump(
+            {
+                "epoch": epoch_id,
+                "batch_fp": batch_fp,
+                "touched_bh_parts": sorted(touched),
+            },
+            fh,
+        )
     os.replace(tmp, manifest)
 
 
@@ -392,7 +438,16 @@ def run_incremental_stream(
 
 
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{state_dir}/pairs").drop("epoch")
+    """Pairs from COMMITTED epochs only. ``pairs/`` is the first of the
+    four stores written, so a crash mid-epoch leaves a pairs partition
+    whose backing band/signature state never committed — filtering on the
+    manifests keeps phantom epochs out of consumer counts."""
+    done = processed_epochs(state_dir)
+    return (
+        spark.read.parquet(f"{state_dir}/pairs")
+        .where(F.col("epoch").isin(done))
+        .drop("epoch")
+    )
 
 
 def windowed_event_counts(
@@ -454,7 +509,13 @@ def sessionize_stream(
       band-store eviction story).
 
     Same gap rule as the batch ``events_sessionize`` query; parity is
-    pytest-gated (stream over file batches == batch sessions).
+    pytest-gated (stream over file batches == batch sessions). In-watermark
+    out-of-order arrivals keep sorted-order semantics against the OPEN
+    session: events inside its span bump the count, earlier events extend
+    it backwards or form their own stray session when a full gap separates
+    them (the one unavoidable append-mode divergence: a straggler older
+    than a session that was already emitted cannot reopen it — the
+    watermark bounds how stale such an event can be).
 
     Scale shape: state is partitioned by ``user_col`` (one shuffle), the
     per-key state is three longs regardless of history length, and
@@ -489,9 +550,35 @@ def sessionize_stream(
         )
         if state.exists:
             start_us, last_us, n = state.get
+            # In-watermark stragglers can arrive BEHIND the open session.
+            # Batch-gap-rule parity demands sorted-order semantics, so the
+            # batch splits around the open span [start_us, last_us]:
+            # events inside it only bump the count (they cannot open a
+            # gap), events before it sessionize among themselves and merge
+            # into the open session iff the chain reaches within the gap
+            # (a naive `last_us = t` would REGRESS session_end and split
+            # sessions the batch query keeps whole).
+            before = [t for t in ts_us if t < start_us]
+            n += sum(1 for t in ts_us if start_us <= t <= last_us)
+            after = [t for t in ts_us if t > last_us]
+            if before:
+                c_start, c_last, c_n = before[0], before[0], 1
+                for t in before[1:]:
+                    if t - c_last > gap_us:
+                        yield session_row(c_start, c_last, c_n)
+                        c_start, c_last, c_n = t, t, 1
+                    else:
+                        c_last, c_n = t, c_n + 1
+                if start_us - c_last > gap_us:
+                    # stray chain: a full gap still separates it from the
+                    # open session — it is its own (already-complete) session
+                    yield session_row(c_start, c_last, c_n)
+                else:
+                    start_us, n = c_start, n + c_n
         else:
             start_us, last_us, n = None, None, 0
-        for t in ts_us:
+            after = ts_us
+        for t in after:
             if last_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us > gap_us:

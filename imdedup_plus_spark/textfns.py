@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import HASH_MOD, SHINGLE_MULT, K_INDEX
-from .signatures import tokens_expr, word_hashes_expr
+from .signatures import ascii_tokens, tokens_expr, word_hashes_expr
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "that"),
@@ -447,7 +447,7 @@ def simhash_sh_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> D
         for pdf in batches:
             ids, out = [], []
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = str(text).lower().split()
+                toks = ascii_tokens(str(text).lower())
                 if len(toks) < win:
                     ids.append(doc_id)
                     out.append(0)
@@ -531,7 +531,7 @@ def simhash_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> Data
         for pdf in batches:
             ids, out = [], []
             for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = str(text).lower().split()
+                toks = ascii_tokens(str(text).lower())
                 ids.append(doc_id)
                 if not toks:
                     out.append(0)
