@@ -4,8 +4,9 @@
 ``queries()`` exposes every implemented operator (SURVEY.md §2) as a
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
 SQL that replays the identical arithmetic (see imdedup_plus_spark/oracle.py
-for the bit-exactness argument). The span/restore lane — a sequential
-greedy kernel — is oracled by a recursive-CTE replay (oracle.span_ctes):
+for the bit-exactness argument). The span/restore lane — the suffix-array
+LCS kernel (imdedup_plus_spark/suffix.py) — is oracled by a recursive-CTE
+replay of the same longest-match/smallest-offset rule (oracle.span_ctes):
 one recursion step per scan position, instruction-exact, so every query
 in the suite has a value-hash oracle.
 """
@@ -564,7 +565,7 @@ FROM (
   FROM orders o LEFT JOIN events e
     ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1""",
-        # --- span lane: recursive-CTE replay of the greedy matcher (see
+        # --- span lane: recursive-CTE replay of the suffix-array matcher (see
         #     oracle.span_ctes) — instruction-exact, so the whole suite is
         #     oracle-green including the delta/restore stages ---
         "dedup_spans": oracle.span_stage_query(

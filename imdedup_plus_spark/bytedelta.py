@@ -15,8 +15,8 @@ BINARY`` payload (BASELINE.json input_hint):
   byte is inserted upstream (measured: 0 matches on a 400-byte shared
   run misaligned by 2 bytes), which is exactly why the reference carries
   rabin/gear chunkers next to xdelta;
-* chunks are hex-encoded strings; ``spans.greedy_spans`` runs unchanged
-  over the chunk lists (``min_copy=1`` — one matched chunk ~64 bytes is
+* chunks are hex-encoded strings; the suffix-array LCS kernel
+  (``suffix.suffix_spans``) runs unchanged over the chunk lists (``min_copy=1`` — one matched chunk ~64 bytes is
   significant, the JBLOCK rationale) emitting COPY/INSERT instructions in
   chunk units with hex INSERT payloads;
 * chunk lists concatenate back to the exact byte stream, so any
@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from .config import HASH_MOD, SHINGLE_MULT, DedupConfig
 from .multimodal import wrapped_html_col, wrapped_html_sql
-from .spans import MAX_POSITIONS_PER_TOKEN, greedy_spans
+from .suffix import suffix_spans
 
 #: rolling-fingerprint window in bytes
 CDC_WINDOW = 8
@@ -125,10 +125,11 @@ def pair_payloads(pairs: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
 def extract_byte_spans(pair_hex: DataFrame, cfg: DedupConfig) -> DataFrame:
     """``(id_a, id_b, hex_a, hex_b)`` -> chunk-unit instruction rows.
 
-    Reuses ``greedy_spans`` over CDC chunk tokens (``min_copy=1``,
-    ``joiner=""``); OMIT_LOW_DELTA applies to the matched *chunk* fraction
-    with the same float comparison as the token lane."""
-    max_pos, omit = MAX_POSITIONS_PER_TOKEN, cfg.omit_low_delta
+    Runs the suffix-array LCS kernel (``suffix.suffix_spans``) over CDC
+    chunk tokens (``min_copy=1``, ``joiner=""``); OMIT_LOW_DELTA applies to
+    the matched *chunk* fraction with the same float comparison as the
+    token lane."""
+    omit = cfg.omit_low_delta
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -138,7 +139,7 @@ def extract_byte_spans(pair_hex: DataFrame, cfg: DedupConfig) -> DataFrame:
                 pdf["hex_a"].values, pdf["hex_b"].values,
             ):
                 A, B = cdc_byte_chunks(str(ha)), cdc_byte_chunks(str(hb))
-                instrs = greedy_spans(A, B, min_copy=1, max_pos=max_pos, joiner="")
+                instrs = suffix_spans(A, B, min_copy=1, joiner="")
                 matched = sum(l for k, _, _, l, _ in instrs if k == "COPY")
                 if B and matched / len(B) < omit:
                     instrs = [("INSERT", -1, 0, len(B), "".join(B))]

@@ -236,9 +236,10 @@ def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
       one) — the working table holds one state row per (base, target) pair,
       so recursion depth = max target token count (docs are bounded;
       sf0.01 max is 99 tokens);
-    * candidate base positions = first ``MAX_POSITIONS_PER_TOKEN`` in base
-      order (the kernel's per-token index cap); tie on extension length ->
-      smallest base offset (the kernel keeps the first maximum);
+    * candidate base positions = EVERY occurrence of the current target
+      token in base order (the production suffix-array kernel has no probe
+      cap — it finds the true longest match); tie on extension length ->
+      smallest base offset (both kernels keep the first maximum);
     * INSERT instructions are derived afterwards as the complement of the
       COPY spans over [0, len(B)) — instruction order is strictly
       increasing ``b_off``, so ``row_number() - 1`` reproduces ``instr_id``;
@@ -264,14 +265,14 @@ def span_ctes(cfg: DedupConfig, pair_sel: str, id_col: str = "doc_id",
     division on both sides. Verified instruction-for-instruction against
     the Python kernel (tests/test_oracle_parity.py).
     """
-    from .spans import MAX_POSITIONS_PER_TOKEN, MIN_COPY_LEN
+    from .spans import MIN_COPY_LEN
 
     if min_copy is None:
         min_copy = MIN_COPY_LEN
-    max_pos, omit = MAX_POSITIONS_PER_TOKEN, cfg.omit_low_delta
+    omit = cfg.omit_low_delta
     cand = (
         "list_filter(generate_series(0, len(p.A) - 1), "
-        f"q -> p.A[q + 1] = p.B[s.i + 1])[1 : {max_pos}]"
+        "q -> p.A[q + 1] = p.B[s.i + 1])"
     )
     ext = (
         "coalesce(list_min(list_transform("

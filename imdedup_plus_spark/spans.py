@@ -8,8 +8,13 @@ Recasts the reference's index+delta stages over token sequences:
   / ``INSERT(len, blocks)`` (``/root/reference/idelta.c:25-176``) -> a
   1-D greedy longest-match scan over target tokens emitting
   ``COPY(a_off, b_off, length)`` / ``INSERT(b_off, length, payload)``;
-* consecutive-duplicate index suppression (``index.c:102-109``) -> a cap on
-  positions indexed per token (web boilerplate repeats tokens heavily);
+* consecutive-duplicate index suppression (``index.c:102-109``) -> made
+  unnecessary: the production matcher is the suffix-array LCS kernel
+  (``suffix.suffix_spans``), O(n log n) regardless of token repetition,
+  so no probe cap is needed and no long match is ever missed. The capped
+  hash-probe ``greedy_spans`` below is kept as the pure-python
+  cross-algorithm twin (bit-identical at ``max_pos=inf``,
+  tests/test_suffix.py) and for bounded-memory comparison;
 * OMIT_LOW_DELTA (``idelta.c:403-419``) -> drop pairs whose matched
   fraction is below ``cfg.omit_low_delta``.
 
@@ -34,11 +39,14 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .signatures import ascii_tokens
+from .suffix import suffix_spans
 
 #: minimum COPY run length in tokens (a 1-token COPY is noise, unlike the
 #: reference's 128-byte JBLOCKs where a single block match is significant)
 MIN_COPY_LEN = 3
-#: max indexed positions per token (index.c:102-109 spirit: bound the probe)
+#: max indexed positions per token for the legacy greedy probe
+#: (index.c:102-109 spirit). The production suffix-array kernel needs no
+#: cap; this bounds only the pure-python twin when called capped.
 MAX_POSITIONS_PER_TOKEN = 64
 
 SPAN_SCHEMA = (
@@ -57,9 +65,14 @@ def greedy_spans(base_tokens: list[str], tgt_tokens: list[str],
     Returns a list of instructions ``(kind, a_off, b_off, length, payload)``
     where payload is the ``joiner``-joined inserted tokens (None for COPY).
     Deterministic: longest extension wins, ties -> smallest a_off.
-    The token domain is opaque — the byte-delta lane (``bytedelta.py``)
-    reuses this matcher over fixed-size payload blocks hex-encoded as
-    strings with ``joiner=""``.
+    The token domain is opaque (the byte-delta lane feeds hex-encoded
+    chunk strings with ``joiner=""``).
+
+    Role: cross-algorithm TWIN of the production suffix-array kernel —
+    ``greedy_spans(A, B, mc, max_pos=inf) == suffix.suffix_spans(A, B, mc)``
+    bit-for-bit (hypothesis-tested). Production goes through the suffix
+    kernel; this stays for parity tests and as the capped bounded-memory
+    variant (``max_pos`` mirrors the reference's index suppression).
     """
     index: dict[str, list[int]] = {}
     for pos, tok in enumerate(base_tokens):
@@ -107,8 +120,12 @@ def extract_spans(pair_texts: DataFrame, cfg: DedupConfig,
     class — identical splitting rule in the DuckDB span oracle) so the
     round-trip reproduces the original token stream (signatures use their
     own lowercased tokens).
+
+    Matcher: the suffix-array LCS kernel (``suffix.suffix_spans``) —
+    exact longest-match semantics with no probe cap, O(n log n) per pair
+    even on boilerplate-heavy pages where the greedy probe degrades.
     """
-    min_copy, max_pos = MIN_COPY_LEN, MAX_POSITIONS_PER_TOKEN
+    min_copy = MIN_COPY_LEN
     omit = cfg.omit_low_delta
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,7 +136,7 @@ def extract_spans(pair_texts: DataFrame, cfg: DedupConfig,
                 pdf["text_a"].values, pdf["text_b"].values,
             ):
                 A, B = ascii_tokens(str(ta)), ascii_tokens(str(tb))
-                instrs = greedy_spans(A, B, min_copy, max_pos)
+                instrs = suffix_spans(A, B, min_copy)
                 matched = sum(l for k, _, _, l, _ in instrs if k == "COPY")
                 if B and matched / len(B) < omit:
                     # OMIT_LOW_DELTA: pass through as one INSERT (verbatim)

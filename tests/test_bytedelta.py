@@ -7,7 +7,7 @@ import random
 
 from imdedup_plus_spark import bytedelta as BD
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
-from imdedup_plus_spark.spans import greedy_spans
+from imdedup_plus_spark.suffix import suffix_spans
 
 
 def _replay(instrs, chunks_a):
@@ -50,7 +50,7 @@ def test_cdc_shift_immunity():
     a = bytes(rng.randrange(256) for _ in range(300)) + shared
     b = bytes(rng.randrange(256) for _ in range(302)) + shared + b"\x00\x01tail"
     A, B = BD.cdc_byte_chunks(a.hex()), BD.cdc_byte_chunks(b.hex())
-    instrs = greedy_spans(A, B, min_copy=1, max_pos=64, joiner="")
+    instrs = suffix_spans(A, B, min_copy=1, joiner="")
     assert _replay(instrs, A) == b.hex()
     copied_chunks = sum(l for k, _, _, l, _ in instrs if k == "COPY")
     copied_bytes = sum(
@@ -65,13 +65,13 @@ def test_cdc_shift_immunity():
 
 
 def test_kernel_edge_cases():
-    assert greedy_spans([], [], min_copy=1, max_pos=64, joiner="") == []
+    assert suffix_spans([], [], min_copy=1, joiner="") == []
     chunks = BD.cdc_byte_chunks(b"abc".hex())
-    assert greedy_spans(chunks, chunks, min_copy=1, max_pos=64, joiner="") == [
+    assert suffix_spans(chunks, chunks, min_copy=1, joiner="") == [
         ("COPY", 0, 0, len(chunks), None)
     ]
     other = BD.cdc_byte_chunks(b"xyz".hex())
-    instrs = greedy_spans(chunks, other, min_copy=1, max_pos=64, joiner="")
+    instrs = suffix_spans(chunks, other, min_copy=1, joiner="")
     assert all(k == "INSERT" for k, *_ in instrs)
     assert _replay(instrs, chunks) == b"xyz".hex()
 
