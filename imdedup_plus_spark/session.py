@@ -23,6 +23,18 @@ def get_spark(
       set to ~2-3x total cores by the submitter).
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # glibc malloc: keep large numpy buffers on the reusable heap instead of
+    # mmap/munmap-ing them per Arrow batch. On fault-expensive hosts (this
+    # VM: ~70us/page first touch, measured) the default re-faults every
+    # batch's working set — the flattened verify kernel ran 15x slower
+    # without this. Must be in the env BEFORE the JVM starts so the python
+    # worker daemon inherits it; executorEnv covers real clusters.
+    _malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": "1073741824",
+        "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    }
+    for k, v in _malloc_env.items():
+        os.environ.setdefault(k, v)
     # shuffle spill dir: tmpfs when available — fast for the sub-GB
     # shuffles of tests/bench at sf0.1. CAUTION: tmpfs is RAM; at corpus
     # scale the verify shuffle (tens of GB) competes with the JVM heap and
@@ -54,6 +66,8 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k, v in _malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -127,3 +127,44 @@ def test_hotwindow_recovers_groups_in_hot_buckets(spark, fixture_corpus):
     windowed = recall(DedupConfig(bucket_cap=4, hot_window=4))
     assert windowed >= drop_only
     assert windowed >= 0.99, f"windowed recall {windowed} (drop-only {drop_only})"
+
+
+def test_verify_kernel_kmv_matches_reference_loop(spark, fixture_corpus):
+    """Flattened KMV verification == the straightforward per-pair
+    intersect1d/union1d reference (the pre-flattening kernel), field for
+    field. Tiny k stresses the window edge (union shorter than k, ties at
+    the k-th key)."""
+    import numpy as np
+
+    from imdedup_plus_spark.config import DedupConfig
+
+    cfg = DedupConfig(verify_sketch_k=8)
+    docs = fixture_corpus.select("url", "text")
+    sig = S.signature_kernel_arrow(docs, cfg, "url").persist()
+    cand = C.candidate_pairs(S.explode_bands(sig, cfg, "url"), cfg, "url").persist()
+    got = sorted(
+        tuple(r) for r in C.verify_pairs_kernel(cand, sig, cfg, "url").collect()
+    )
+
+    sets = {
+        r["url"]: (
+            np.asarray(r["sig"]),
+            np.frombuffer(r["shingle_set"], dtype="<i4").astype(np.int64),
+        )
+        for r in sig.collect()
+    }
+    k, pct = cfg.verify_sketch_k, cfg.verify_jaccard_pct
+    exp = []
+    for r in cand.collect():
+        siga, a = sets[r["id_a"]]
+        sigb, b = sets[r["id_b"]]
+        n_eq = int(np.sum(siga == sigb))
+        ab = np.intersect1d(a, b, assume_unique=True)
+        u = np.union1d(a, b)[:k]
+        hi = int(u[-1]) if u.size else 0
+        inter = int(np.searchsorted(ab, hi, side="right"))
+        un = int(u.size)
+        if inter * 100 >= un * pct:
+            exp.append((r["id_a"], r["id_b"], r["n_matching_bands"], n_eq, inter, un))
+    cand.unpersist(); sig.unpersist()
+    assert got == sorted(exp)
