@@ -76,3 +76,34 @@ def test_perm_constants_derivation():
     assert len(ks) == len(bs) == 8
     assert all(0 < k < 2**31 - 1 for k in ks)
     assert all(0 <= b < 2**31 - 1 for b in bs)
+
+
+def test_ascii_tokens_matches_regex_class():
+    """The C-speed translate+split tokenizer == re.split on the canonical
+    ASCII whitespace class: Unicode whitespace must NOT split, runs of
+    class members collapse, edge empties drop."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from imdedup_plus_spark.signatures import WS_CLASS, ascii_tokens
+
+    rx = re.compile(WS_CLASS + "+")
+
+    def ref(s):
+        return [t for t in rx.split(s) if t]
+
+    for s in [
+        "", " ", "\t\n\x0b\f\r", "a b", " a\tb\nc\x0bd\fe\rf ",
+        "uni\xa0code spaces must stay glued",
+        "a  b\t\tc", "\r\na", "tail ",
+    ]:
+        assert ascii_tokens(s) == ref(s), repr(s)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="ab \t\n\x0b\f\r\xa0 é", max_size=40))
+    def prop(s):
+        assert ascii_tokens(s) == ref(s)
+
+    prop()
