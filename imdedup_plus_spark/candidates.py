@@ -378,21 +378,23 @@ def verify_pairs_kernel(
     Python workers, with the physical form picked per mode:
 
     * **KMV mode (``verify_sketch_k > 0``, the SCALE_CONFIG path)** —
-      **batch-flat**: the whole Arrow batch's bottom-k sets are
-      concatenated once and every per-pair quantity falls out of
-      vectorized numpy passes, no per-pair Python at all. The trick: tag
-      each shingle hash with its pair index in the high bits
+      **chunked-flat**: 1024-pair slices of the Arrow batch are
+      concatenated and every per-pair quantity falls out of vectorized
+      numpy passes, no per-pair Python at all. The trick: tag each
+      shingle hash with its pair index in the high bits
       (``key = pair_idx * 2^31 + hash``; hashes live in ``[0, 2^31)``).
       Sets are stored sorted-distinct and pair indices are nondecreasing
       under ``np.repeat``, so the concatenated key arrays are *globally*
       sorted — per-pair intersection sizes reduce to ONE ``searchsorted``
       of A-keys into B-keys plus a ``bincount`` of the matches, and the
       KMV window to one mergesort + first-occurrence dedup of the
-      combined keys. Measured 27.5 -> 7.7us/pair at k=64 (3.6x): at small
-      k the per-pair loop is dominated by numpy call dispatch, exactly
-      what flattening removes. Requires the malloc env set by
-      ``session.get_spark`` — without heap reuse each batch re-faults its
-      ~100 MB working set and flattening LOSES 15x on this host.
+      combined keys. Chunk size matters under concurrency: whole-batch
+      flat streams ~40 MB of temporaries per batch and anti-scales on
+      DRAM bandwidth (6.2 -> 11.2 us/pair from 1 -> 16 pinned procs);
+      1024-pair chunks stay L2-resident at 4.7/6.9 us/pair, vs the
+      per-pair loop's 17.4/19.8 (scripts/bench_verify_forms.py).
+      Requires the malloc env set by ``session.get_spark`` — without
+      heap reuse each batch re-faults its working set at ~70us/page.
     * **exact mode (``verify_sketch_k == 0``, the oracle/reference
       path)** — per-pair ``np.intersect1d`` loop: full sets (~300
       elements at web-page size) amortize the call overhead and stay
@@ -482,49 +484,67 @@ def verify_pairs_kernel(
 
             # --- KMV: pair-tagged key spaces (globally sorted by
             #     construction: sets are sorted-distinct, pair index is
-            #     nondecreasing) ---
-            va, la = _flat(pdf["set_a"].values, n)
-            vb, lb = _flat(pdf["set_b"].values, n)
-            ia = np.repeat(np.arange(n, dtype=np.int64), la)
-            ib = np.repeat(np.arange(n, dtype=np.int64), lb)
-            ka = ia * (1 << 31) + va
-            kb = ib * (1 << 31) + vb
+            #     nondecreasing), evaluated over CACHE-RESIDENT CHUNKS.
+            #     Whole-batch flat streams ~40 MB of int64 temporaries per
+            #     10k-pair batch; at 16 concurrent workers that saturates
+            #     DRAM bandwidth (measured 6.2 -> 11.2 us/pair going
+            #     1 -> 16 pinned procs). 1024-pair chunks keep the working
+            #     set ~4 MB (L2-resident): 4.7 us/pair at 1 proc and 6.9
+            #     at 16 (scripts/bench_verify_forms.py). Chunking is
+            #     output-invariant: every quantity is per-pair.
+            set_a_vals = pdf["set_a"].values
+            set_b_vals = pdf["set_b"].values
+            inter = np.empty(n, dtype=np.int64)
+            un = np.empty(n, dtype=np.int64)
+            CHUNK = 1024
+            for lo in range(0, n, CHUNK):
+                hi_ = min(lo + CHUNK, n)
+                m = hi_ - lo
+                va, la = _flat(set_a_vals[lo:hi_], m)
+                vb, lb = _flat(set_b_vals[lo:hi_], m)
+                ia = np.repeat(np.arange(m, dtype=np.int64), la)
+                ib = np.repeat(np.arange(m, dtype=np.int64), lb)
+                ka = ia * (1 << 31) + va
+                kb = ib * (1 << 31) + vb
 
-            # intersection mask over A-keys: every (pair, hash) present in B
-            if kb.size:
-                pos = np.searchsorted(kb, ka)
-                hit = pos < kb.size
-                hit[hit] = kb[pos[hit]] == ka[hit]
-            else:
-                hit = np.zeros(ka.size, dtype=bool)
+                # intersection mask over A-keys: (pair, hash) present in B
+                if kb.size:
+                    pos = np.searchsorted(kb, ka)
+                    hit = pos < kb.size
+                    hit[hit] = kb[pos[hit]] == ka[hit]
+                else:
+                    hit = np.zeros(ka.size, dtype=bool)
 
-            # KMV: bottom-k of the union (a, b are each bottom-k of
-            # their sets, so the union's true bottom-k is contained in
-            # merge(a, b)); estimate J on that window. Union per pair =
-            # first-occurrence dedup of the combined sorted keys.
-            allk = np.sort(np.concatenate([ka, kb]), kind="mergesort")
-            if allk.size:
-                first = np.empty(allk.size, dtype=bool)
-                first[0] = True
-                np.not_equal(allk[1:], allk[:-1], out=first[1:])
-                uk = allk[first]
-            else:
-                uk = allk
-            upair = uk >> 31
-            seg_len = np.bincount(upair, minlength=n)
-            un = np.minimum(seg_len, sketch_k)
-            # k-th smallest union key per pair (the KMV window top)
-            seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
-            hi_idx = seg_start + np.maximum(un, 1) - 1
-            hi_key = (
-                uk[np.minimum(hi_idx, max(uk.size - 1, 0))]
-                if uk.size
-                else np.zeros(n, dtype=np.int64)
-            )
-            # inter = intersection keys inside the window (key <= top;
-            # same pair prefix, so key order == hash order)
-            km, pm = ka[hit], ia[hit]
-            inter = np.bincount(pm[km <= hi_key[pm]], minlength=n).astype(np.int64)
+                # KMV: bottom-k of the union (a, b are each bottom-k of
+                # their sets, so the union's true bottom-k is contained in
+                # merge(a, b)); estimate J on that window. Union per pair =
+                # first-occurrence dedup of the combined sorted keys.
+                allk = np.sort(np.concatenate([ka, kb]), kind="mergesort")
+                if allk.size:
+                    first = np.empty(allk.size, dtype=bool)
+                    first[0] = True
+                    np.not_equal(allk[1:], allk[:-1], out=first[1:])
+                    uk = allk[first]
+                else:
+                    uk = allk
+                upair = uk >> 31
+                seg_len = np.bincount(upair, minlength=m)
+                un_c = np.minimum(seg_len, sketch_k)
+                # k-th smallest union key per pair (the KMV window top)
+                seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+                hi_idx = seg_start + np.maximum(un_c, 1) - 1
+                hi_key = (
+                    uk[np.minimum(hi_idx, max(uk.size - 1, 0))]
+                    if uk.size
+                    else np.zeros(m, dtype=np.int64)
+                )
+                # inter = intersection keys inside the window (key <= top;
+                # same pair prefix, so key order == hash order)
+                km, pm = ka[hit], ia[hit]
+                inter[lo:hi_] = np.bincount(
+                    pm[km <= hi_key[pm]], minlength=m
+                )
+                un[lo:hi_] = un_c
             keep = (
                 inter * 100 >= un * pct if jac else n_eq >= thr
             )
