@@ -21,6 +21,32 @@ At 100 TB each stage boundary is also the natural operational boundary:
 signatures are ~40 bytes/doc (8 x 8-byte features + id), pairs and clusters
 are tiny relative to the corpus, so checkpoint I/O is negligible next to
 the document scan.
+
+Exact Iceberg mapping of this fallback (what a cluster with the
+``iceberg-spark-runtime`` jar would configure; every concept below has a
+1:1 analog in this module, so swapping the writer is mechanical):
+
+* session conf::
+
+    spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+    spark.sql.catalog.dedup=org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.dedup.type=hadoop           # or hive/rest
+    spark.sql.catalog.dedup.warehouse=<workdir>
+
+* ``<workdir>/<stage>/`` parquet dir  ->  table ``dedup.db.<stage>``,
+  written with ``df.writeTo("dedup.db.<stage>").createOrReplace()``;
+  the bands/state tables partitioned by ``(band_id, bucket(band_hash))``
+  so streaming probes prune to the touched buckets (streaming.py does
+  this today via parquet partition dirs).
+* ``_LINEAGE.json`` written-after-data  ->  Iceberg's snapshot commit:
+  atomicity comes from the catalog swap instead of manifest ordering,
+  and the row-count/config echo land in snapshot ``summary`` properties
+  (``df.writeTo(...).option("snapshot-property.cfg", ...)``).
+* resume no-op read  ->  time-travel to the last committed snapshot;
+  a partially-written attempt is invisible (uncommitted snapshot).
+* the streaming epoch manifest (streaming.py) -> MERGE INTO keyed on
+  ``epoch`` with ``WHEN NOT MATCHED THEN INSERT`` — replayed epochs
+  become no-ops server-side instead of via the manifest check.
 """
 
 from __future__ import annotations
