@@ -168,3 +168,58 @@ def test_verify_kernel_kmv_matches_reference_loop(spark, fixture_corpus):
             exp.append((r["id_a"], r["id_b"], r["n_matching_bands"], n_eq, inter, un))
     cand.unpersist(); sig.unpersist()
     assert got == sorted(exp)
+
+
+def test_verify_kernel_kmv_chunk_boundaries(spark, fixture_corpus):
+    """The KMV path vectorizes over 1024-pair chunks of each Arrow batch
+    (candidates.py verify_pairs_kernel); this drives >3k pairs through ONE
+    batch so the chunk loop crosses several boundaries (including a final
+    partial chunk), and checks field-for-field parity with the per-pair
+    numpy reference. The oracle/LSH parity tests only produce sub-1024
+    batches, which would leave the lo>0 slices untested."""
+    import numpy as np
+
+    from imdedup_plus_spark.config import DedupConfig
+
+    cfg = DedupConfig(verify_sketch_k=16)
+    docs = fixture_corpus.select("url", "text")
+    sig = S.signature_kernel_arrow(docs, cfg, "url").persist()
+    ids = sorted(r["url"] for r in sig.select("url").collect())
+    n = len(ids)
+    # ring pairing: every doc with its next 14 successors -> ~14n pairs,
+    # coalesce(1) keeps them in one partition = one Arrow batch (< 10k
+    # default maxRecordsPerBatch), so the kernel sees a single pdf with
+    # several 1024-chunk crossings
+    pair_rows = [
+        (ids[i], ids[(i + d) % n], 1) for i in range(n) for d in range(1, 15)
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows, "id_a string, id_b string, n_matching_bands long"
+    ).coalesce(1)
+    assert len(pair_rows) > 3000
+    got = sorted(
+        tuple(r) for r in C.verify_pairs_kernel(pairs, sig, cfg, "url").collect()
+    )
+
+    sets = {
+        r["url"]: (
+            np.asarray(r["sig"]),
+            np.frombuffer(r["shingle_set"], dtype="<i4").astype(np.int64),
+        )
+        for r in sig.collect()
+    }
+    k, pct = cfg.verify_sketch_k, cfg.verify_jaccard_pct
+    exp = []
+    for id_a, id_b, nmb in pair_rows:
+        siga, a = sets[id_a]
+        sigb, b = sets[id_b]
+        n_eq = int(np.sum(siga == sigb))
+        ab = np.intersect1d(a, b, assume_unique=True)
+        u = np.union1d(a, b)[:k]
+        hi = int(u[-1]) if u.size else 0
+        inter = int(np.searchsorted(ab, hi, side="right"))
+        un = int(u.size)
+        if inter * 100 >= un * pct:
+            exp.append((id_a, id_b, nmb, n_eq, inter, un))
+    sig.unpersist()
+    assert got == sorted(exp)
