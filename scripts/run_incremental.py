@@ -4,6 +4,8 @@ Ships like the batch pipeline::
 
     sh scripts/make_pyfiles.sh
     spark-submit --py-files dist/imdedup_plus_spark.zip \
+        [--driver-memory 48g]  # local mode: driver IS the executor; \
+                               # in-code conf can't size an already-running JVM
         scripts/run_incremental.py \
         --input /landing/dir/of/document_parquet_files \
         --state /path/to/state_tables \

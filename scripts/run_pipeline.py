@@ -8,6 +8,13 @@ Ships per the north rule::
         --workdir /path/to/checkpoints \
         --id-col url [--resume]
 
+NOTE on memory under spark-submit: the in-code session conf
+(``session.get_spark``) cannot size the driver JVM — it is already
+running — so pass ``--driver-memory`` (local mode: the driver IS the
+executor; size it like one, e.g. 48g for a corpus-scale local run) or
+``--executor-memory`` on a cluster. The default 1g driver OOMs on
+corpus-scale inputs.
+
 On a cluster, ``--input`` is the Iceberg/Parquet documents table; the
 workdir holds per-stage checkpoints + lineage manifests; re-running with
 the same workdir resumes from the last completed stage (idempotent).
