@@ -218,6 +218,10 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
     _force(cl)
     t_cc = time.time()
     wall = t_cc - t0
+    # counted AFTER the clock stops: ver is already materialized by the
+    # eager localCheckpoint, so this count is ~free and lets each round's
+    # verify stage be compared per WORK UNIT (sec/pair), not just per doc
+    n_verified = ver.count()
     sig.unpersist()
     spark.stop()
     return {
@@ -225,6 +229,7 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
         "n_docs": n_docs,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
+        "n_verified_pairs": n_verified,
         "stage_sec": {
             "signatures": round(t_sig - t0, 2),
             "pairs_verify": round(t_ver - t_sig, 2),
