@@ -284,6 +284,11 @@ def run_scaling(n_base: int = 20000) -> None:
         tag = master.replace("[", "_").replace("]", "")
         p = f"BENCH/scaling_{tag}.json"
         if os.path.exists(p):
+            print(
+                f"REUSING cached half-measurement {p} (from a previous "
+                f"--scaling-half run; delete or rename it to re-measure)",
+                file=sys.stderr,
+            )
             with open(p) as fh:
                 return json.load(fh)
         return _pipeline_docs_per_sec(master, corpus, parts)
