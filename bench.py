@@ -219,8 +219,11 @@ def _pipeline_docs_per_sec(master: str, input_path: str, shuffle_parts: int) -> 
     t_cc = time.time()
     wall = t_cc - t0
     # counted AFTER the clock stops: ver is already materialized by the
-    # eager localCheckpoint, so this count is ~free and lets each round's
-    # verify stage be compared per WORK UNIT (sec/pair), not just per doc
+    # eager localCheckpoint so the count is ~free. NOTE this is the
+    # post-filter KEEP set, not the candidate volume the verify stage
+    # actually processed — use it as an output-size sanity check across
+    # rounds, not as the sec/pair denominator (candidates can't be
+    # counted without adding a materialization inside the timed region).
     n_verified = ver.count()
     sig.unpersist()
     spark.stop()

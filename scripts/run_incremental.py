@@ -4,12 +4,15 @@ Ships like the batch pipeline::
 
     sh scripts/make_pyfiles.sh
     spark-submit --py-files dist/imdedup_plus_spark.zip \
-        [--driver-memory 48g]  # local mode: driver IS the executor; \
-                               # in-code conf can't size an already-running JVM
+        --driver-memory 48g \
         scripts/run_incremental.py \
         --input /landing/dir/of/document_parquet_files \
         --state /path/to/state_tables \
         --id-col url
+
+``--driver-memory`` matters in local mode: the driver IS the executor
+and the in-code session conf cannot size an already-running JVM — the
+1g default OOMs on corpus-scale inputs (size it like an executor).
 
 Each invocation drains all files currently under ``--input`` that the
 stream checkpoint has not yet processed (``Trigger.AvailableNow``), probes

@@ -186,20 +186,29 @@ def test_verify_kernel_kmv_chunk_boundaries(spark, fixture_corpus):
     sig = S.signature_kernel_arrow(docs, cfg, "url").persist()
     ids = sorted(r["url"] for r in sig.select("url").collect())
     n = len(ids)
-    # ring pairing: every doc with its next 14 successors -> ~14n pairs,
-    # coalesce(1) keeps them in one partition = one Arrow batch (< 10k
-    # default maxRecordsPerBatch), so the kernel sees a single pdf with
-    # several 1024-chunk crossings
+    # ring pairing: every doc with its next 14 successors -> ~14n pairs.
+    # The kernel's internal shuffle_hash joins re-partition by the session
+    # shuffle-partition count, so pin it to 1 for this call: the joined
+    # output is then ONE partition of all ~3.3k pairs = one Arrow batch
+    # (< 10k maxRecordsPerBatch), guaranteeing the 1024-chunk loop crosses
+    # several boundaries (incl. a final partial chunk). Without the pin,
+    # 8 shuffle partitions x ~420 rows would each stay under one chunk
+    # and the lo>0 slices would silently go untested.
     pair_rows = [
         (ids[i], ids[(i + d) % n], 1) for i in range(n) for d in range(1, 15)
     ]
     pairs = spark.createDataFrame(
         pair_rows, "id_a string, id_b string, n_matching_bands long"
-    ).coalesce(1)
-    assert len(pair_rows) > 3000
-    got = sorted(
-        tuple(r) for r in C.verify_pairs_kernel(pairs, sig, cfg, "url").collect()
     )
+    assert len(pair_rows) > 3000
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        got = sorted(
+            tuple(r) for r in C.verify_pairs_kernel(pairs, sig, cfg, "url").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     sets = {
         r["url"]: (

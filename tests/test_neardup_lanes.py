@@ -157,36 +157,3 @@ def test_ivf_trained_codebook_recall_on_planted_clusters(spark):
     total = sum(len(s) for s in exact.values())
     assert hits / total >= 0.9, f"IVF recall@3 {hits}/{total}"
 
-
-def test_ivf_recall_on_planted_clusters(spark):
-    """VERDICT r1 ask: the trained k-means codebook must deliver real
-    recall when the data HAS cluster structure (the unstructured-noise
-    test above only asserts wiring). 8 planted well-separated clusters
-    in dim=16: deterministic k-means (3 unrolled iterations, smallest-id
-    training sample) must place nprobe=2 top-1 recall >= 0.9 vs brute
-    force; on this fixture the nearest neighbor is always in-cluster."""
-    import math
-
-    dim, n_cl, n_vec = 16, 8, 200
-    rows = []
-    for i in range(n_vec):
-        c = i % n_cl
-        # centroid = unit vector on axis 2c; deterministic small
-        # perturbation on the remaining axes (LCG, no RNG state)
-        v = [0.0] * dim
-        v[2 * c % dim] = 1.0
-        for d in range(dim):
-            v[d] += 0.05 * math.sin(1.0 + 37.0 * i + 101.0 * d)
-        rows.append((i, v))
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-
-    bf1 = {
-        r.vec_id: r.neighbor_id
-        for r in ann.cosine_topk(emb, k=1, dim=dim).collect()
-    }
-    iv1 = {
-        r.vec_id: r.neighbor_id
-        for r in ann.ivf_ann_topk(emb, k=1, n_cells=n_cl, nprobe=2, dim=dim).collect()
-    }
-    recall = sum(1 for v, nb in bf1.items() if iv1.get(v) == nb) / len(bf1)
-    assert recall >= 0.9, f"planted-cluster IVF top-1 recall {recall}"
