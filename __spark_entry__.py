@@ -266,6 +266,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_png_resize"] = lambda spark, sf: MM.png_resize_stats(_docs(spark, sf), ID)
     q["mm_frame_sample"] = lambda spark, sf: MM.frame_sample_stats(_docs(spark, sf), ID)
 
+    # --- REAL JPEG codec lane (jpeg.py, from-scratch baseline JFIF —
+    #     the reference's native domain, jpeg.c:16-122): synth pixels ->
+    #     JFIF encode (integer DCT, Annex-K quant, Huffman, stuffing) ->
+    #     decode to QUANTIZED DCT planes -> integer stats; oracle replays
+    #     the integer DCT+quant arithmetic in DuckDB with no codec, so
+    #     parity proves the lossless entropy layer round-trips the
+    #     coefficients exactly ---
+    q["mm_jpeg_dct_stats"] = lambda spark, sf: MM.jpeg_dct_stats(_docs(spark, sf), ID)
+
     # --- REAL audio codec lane (wav.py, RIFF PCM): synth int16 samples ->
     #     container write -> parse -> integer features; oracled the same
     #     way (DuckDB recomputes features from the sample arithmetic) ---
@@ -596,6 +605,7 @@ FROM (
         "mm_png_roundtrip": MM.png_roundtrip_sql(ID),
         "mm_png_resize": MM.png_resize_sql(ID),
         "mm_frame_sample": MM.frame_sample_sql(ID),
+        "mm_jpeg_dct_stats": MM.jpeg_dct_sql(ID),
         "mm_wav_features": MM.wav_features_sql(ID),
         "dedup_cdc_chunks": CH.cdc_stage_query(
             CFG,

@@ -19,9 +19,12 @@ needs, treating media as opaque bytes + typed metadata:
   length-prefixed container format. The ``mm_png_*`` driver queries are
   oracled end to end: DuckDB recomputes the decoded-pixel statistics
   straight from the synthetic-pixel arithmetic, so a codec bug anywhere
-  breaks bit-parity. JPEG payloads raise ``NotImplementedError`` — no
-  JPEG library exists in this container (the reference's own JPEG lane,
-  ``/root/reference/jpeg.c:16-122``, needs one).
+  breaks bit-parity. JPEG payloads decode for REAL too, via the
+  from-scratch baseline-JFIF codec (``jpeg.py``) — the reference's
+  native domain (``/root/reference/jpeg.c:16-122``); its machine check
+  is ``mm_jpeg_dct_stats``, which replays the codec's integer DCT +
+  quantization in DuckDB and compares quantized-coefficient statistics
+  (the domain where a JPEG codec is exact).
 """
 
 from __future__ import annotations
@@ -188,11 +191,12 @@ def binary_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Image / video operators — REAL codec path (imdedup_plus_spark.png: pure
-# stdlib-zlib PNG, ISO/IEC 15948). The reference decodes JPEG containers to
-# DCT planes (/root/reference/jpeg.c:16-122); no JPEG library exists in
-# this container, so JPEG payloads raise NotImplementedError with the PNG
-# path demonstrating the full decode/transform/verify machinery for real.
+# Image / video operators — REAL codec paths: imdedup_plus_spark.png
+# (pure stdlib-zlib PNG, ISO/IEC 15948) and imdedup_plus_spark.jpeg
+# (from-scratch baseline JFIF, ITU T.81). The reference decodes JPEG
+# containers to DCT planes (/root/reference/jpeg.c:16-122);
+# jpeg.decode_jpeg_to_dct is that entry point, and jpeg_dct_stats below
+# is its oracle-checked driver query.
 # ---------------------------------------------------------------------------
 
 #: pixel-value histogram bins emitted by decode_image (256/32 = 8 bins) —
@@ -224,12 +228,15 @@ def decode_image(
     df: DataFrame, bin_col: str, id_col: str, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """binary -> decoded-image statistics, REAL decode: PNG payloads run
-    the from-scratch codec (CRC-verified inflate + unfilter); JPEG magic
-    raises ``NotImplementedError`` (no JPEG lib in this container); other
-    payloads raise ``ValueError``. Emits integer stats + an 8-bin pixel
-    histogram — all DuckDB-replayable, so ``mm_png_roundtrip`` machine-
-    checks the codec end to end. ``carry`` forwards extra columns (e.g.
+    the from-scratch PNG codec (CRC-verified inflate + unfilter), JPEG
+    payloads the from-scratch baseline-JFIF codec (``jpeg.py``; pixel
+    path = dequant + float inverse DCT); other payloads raise
+    ``ValueError``. Emits integer stats + an 8-bin pixel histogram — the
+    PNG path is DuckDB-replayable (``mm_png_roundtrip``); the JPEG lane's
+    machine check is ``mm_jpeg_dct_stats`` (quantized-DCT domain, where
+    the codec IS exact). ``carry`` forwards extra columns (e.g.
     ``frame_idx``) through the kernel. Narrow Arrow-batched map."""
+    from .jpeg import decode_jpeg
     from .png import PNG_MAGIC, decode_png
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -238,13 +245,11 @@ def decode_image(
             for i, raw in enumerate(pdf[bin_col].values):
                 b = bytes(raw)
                 if b[:3] == _JPEG_MAGIC:
-                    raise NotImplementedError(
-                        "JPEG codec not available in this container; "
-                        "PNG payloads decode for real"
-                    )
-                if b[:8] != PNG_MAGIC:
-                    raise ValueError("decode_image: payload is not a PNG")
-                img = decode_png(b)
+                    img = decode_jpeg(b)
+                elif b[:8] != PNG_MAGIC:
+                    raise ValueError("decode_image: payload is not PNG/JPEG")
+                else:
+                    img = decode_png(b)
                 rows.append(
                     (pdf[id_col].values[i],)
                     + tuple(pdf[c].values[i] for c in carry)
@@ -503,6 +508,123 @@ FROM (
   SELECT {id_col}, {px} AS px
   FROM (SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
                8 + {id_col} % {_SYN_W_MOD} AS w FROM {table})
+)"""
+
+
+def synth_jpeg_df(docs: DataFrame, id_col: str) -> DataFrame:
+    """(id, jpg binary): per-doc synthetic image through the REAL
+    baseline-JFIF encoder (markers, integer DCT, Annex-K quant, Huffman,
+    byte stuffing)."""
+    from .jpeg import encode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jpgs = [encode_jpeg(synth_image(int(d))) for d in pdf[id_col].values]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "jpg": jpgs})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, jpg binary"
+    )
+
+
+def jpeg_dct_stats(docs: DataFrame, id_col: str) -> DataFrame:
+    """Flagship JPEG query — the reference's decode-to-DCT-planes step
+    (``/root/reference/jpeg.c:16-122``) as an oracle-checked operator:
+    synth image -> REAL JFIF encode -> REAL decode to QUANTIZED DCT
+    coefficients -> integer statistics. DuckDB (``jpeg_dct_sql``) replays
+    pixels -> integer DCT -> quantization arithmetically, with no codec
+    and no entropy layer — parity therefore proves zigzag + DC prediction
+    + Huffman + byte stuffing round-trip the coefficients EXACTLY (JPEG
+    is only lossy in the transform; the entropy layer is lossless and
+    machine-checked here)."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg_to_dct, encode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col].values:
+                img = synth_image(int(d))
+                coefs, h, w, _q = decode_jpeg_to_dct(encode_jpeg(img))
+                flat = coefs.reshape(-1)
+                rows.append((
+                    d, int(w), int(h),
+                    int(coefs.shape[0] * coefs.shape[1]),
+                    int(flat.size), int(flat.sum()),
+                    int(flat.min()), int(flat.max()),
+                    int(np.count_nonzero(flat)),
+                    int(coefs[:, :, 0, 0].sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_blocks", "n_coefs",
+                         "coef_sum", "coef_min", "coef_max", "n_nonzero",
+                         "dc_sum"],
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} {id_type}, width int, height int, n_blocks long, "
+            "n_coefs long, coef_sum long, coef_min long, coef_max long, "
+            "n_nonzero long, dc_sum long"
+        ),
+    )
+
+
+def jpeg_dct_sql(id_col: str, table: str = "documents") -> str:
+    """DuckDB replay of ``jpeg_dct_stats``: the codec's integer forward
+    DCT + quantization evaluated as pure list arithmetic (basis matrix and
+    quant table inlined as literals from ``jpeg.DCT_M``/``QUANT_LUMA`` —
+    single source of truth, no cos() at query time on either engine)."""
+    from .jpeg import DCT_M, QUANT_LUMA
+
+    m_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in DCT_M) + "]"
+    q_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in QUANT_LUMA) + "]"
+    # edge-clamped level-shifted sample at absolute (row, col)
+    s_px = (
+        f"((({id_col}*31 + least(bu*8+k, h-1)*7 + least(bv*8+c, w-1)*13) % 256) - 128)"
+    )
+    # stage 1 (fixed u, c): g = floor((sum_k m[u][k]*s + 4096) / 8192)
+    g_uc = (
+        "CAST(floor((list_sum(list_transform(generate_series(0,7), k -> "
+        f"m[u+1][k+1] * {s_px})) + 4096) / 8192.0) AS BIGINT)"
+    )
+    # stage 2 (fixed u, v): f = floor((sum_c g*m[v][c] + 4096) / 8192)
+    f_uv = (
+        "CAST(floor((list_sum(list_transform(generate_series(0,7), c -> "
+        f"({g_uc}) * m[v+1][c+1])) + 4096) / 8192.0) AS BIGINT)"
+    )
+    # quantize: sign(f) * ((|f| + q//2) // q), single-eval of f via [f]->lambda
+    qc = (
+        f"list_extract(list_transform([{f_uv}], f -> "
+        "CAST(sign(f) AS BIGINT) * ((abs(f) + qt[u+1][v+1]//2) // qt[u+1][v+1])), 1)"
+    )
+    coefs = (
+        "flatten(flatten(flatten("
+        "list_transform(generate_series(0, (h+7)//8 - 1), bu -> "
+        "list_transform(generate_series(0, (w+7)//8 - 1), bv -> "
+        "list_transform(generate_series(0,7), u -> "
+        f"list_transform(generate_series(0,7), v -> {qc})))))))"
+    )
+    return f"""
+SELECT {id_col}, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(((h+7)//8) * ((w+7)//8) AS BIGINT) AS n_blocks,
+  CAST(len(coefs) AS BIGINT) AS n_coefs,
+  CAST(list_sum(coefs) AS BIGINT) AS coef_sum,
+  CAST(list_min(coefs) AS BIGINT) AS coef_min,
+  CAST(list_max(coefs) AS BIGINT) AS coef_max,
+  CAST(len(list_filter(coefs, v -> v != 0)) AS BIGINT) AS n_nonzero,
+  CAST(list_sum(list_transform(generate_series(0, CAST(((h+7)//8)*((w+7)//8) AS INT) - 1),
+                               i -> coefs[64*i + 1])) AS BIGINT) AS dc_sum
+FROM (
+  SELECT {id_col}, h, w, {coefs} AS coefs
+  FROM (SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
+               8 + {id_col} % {_SYN_W_MOD} AS w FROM {table}),
+       (SELECT {m_lit} AS m, {q_lit} AS qt)
 )"""
 
 
