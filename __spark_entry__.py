@@ -275,6 +275,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     coefficients exactly ---
     q["mm_jpeg_dct_stats"] = lambda spark, sf: MM.jpeg_dct_stats(_docs(spark, sf), ID)
 
+    # --- IMAGE dedup in DCT space — the reference's headline capability
+    #     (2df.c feature stage over jpeg.c coefficient planes): MinHash
+    #     signatures over quantized-DCT sample streams of a planted image
+    #     corpus (exact dups + brightness variants whose ACs are
+    #     unchanged), then LSH band pairing. Oracle replays codec
+    #     arithmetic + shingle fold + permutations + band join in SQL ---
+    q["dedup_jpeg_dct_signatures"] = lambda spark, sf: MM.jpeg_dct_signatures(_docs(spark, sf), ID)
+    q["dedup_jpeg_dct_pairs"] = lambda spark, sf: MM.jpeg_dct_pairs(_docs(spark, sf), ID)
+
     # --- REAL audio codec lane (wav.py, RIFF PCM): synth int16 samples ->
     #     container write -> parse -> integer features; oracled the same
     #     way (DuckDB recomputes features from the sample arithmetic) ---
@@ -606,6 +615,8 @@ FROM (
         "mm_png_resize": MM.png_resize_sql(ID),
         "mm_frame_sample": MM.frame_sample_sql(ID),
         "mm_jpeg_dct_stats": MM.jpeg_dct_sql(ID),
+        "dedup_jpeg_dct_signatures": MM.jpeg_signature_sql(ID),
+        "dedup_jpeg_dct_pairs": MM.jpeg_pairs_sql(ID),
         "mm_wav_features": MM.wav_features_sql(ID),
         "dedup_cdc_chunks": CH.cdc_stage_query(
             CFG,

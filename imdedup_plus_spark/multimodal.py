@@ -628,6 +628,154 @@ FROM (
 )"""
 
 
+#: planted image-corpus geometry: image identity repeats every
+#: _IMG_GROUP docs (exact dups) and every _IMG_GROUP*2 docs a brightness
+#: variant appears (frame=1: +57 grey levels -> per-block DC coefficients
+#: shift, AC coefficients are UNCHANGED -> near-dup in DCT space). This
+#: is the reference's core scenario: similar images whose redundancy
+#: lives in the coefficient planes (/root/reference/2df.c feature stage
+#: over jpeg.c-decoded planes).
+_IMG_GROUP = 60
+
+
+def _img_identity(doc_id: int) -> tuple[int, int]:
+    return doc_id % _IMG_GROUP, (doc_id // _IMG_GROUP) % 2
+
+
+def jpeg_dct_signatures(docs: DataFrame, id_col: str) -> DataFrame:
+    """MinHash signatures over QUANTIZED DCT coefficient planes — the
+    reference's feature stage (``2df.c:152-423``) applied to its native
+    JPEG domain, through the REAL codec:
+
+    planted image -> JFIF encode -> decode to DCT planes -> sample
+    stream ``s[i] = coef[i] mod 256`` (non-negative residue; block-major
+    coefficient order) -> window-2 shingles with the engine's standard
+    polynomial fold ``(s1*SHINGLE_MULT + s2) mod HASH_MOD`` -> per-
+    permutation max of ``(k_m*h + b_m) mod PERM_P`` with the SAME
+    reference permutation constants as the text lane (``2df.c:36-72``).
+    Every step is integer arithmetic, replayed by ``jpeg_signature_sql``.
+    """
+    import numpy as np
+
+    from .config import HASH_MOD, PERM_P, SHINGLE_MULT, perm_constants
+    from .jpeg import decode_jpeg_to_dct, encode_jpeg
+
+    ks, bs = perm_constants(8)
+    ka = np.array(ks, dtype=np.int64)[:, None]
+    ba = np.array(bs, dtype=np.int64)[:, None]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col].values:
+                iid, fr = _img_identity(int(d))
+                img = synth_image(iid, frame=fr)
+                coefs, _h, _w, _q = decode_jpeg_to_dct(encode_jpeg(img))
+                s = coefs.reshape(-1) % 256  # non-negative residues
+                sh = (s[:-1] * SHINGLE_MULT + s[1:]) % HASH_MOD
+                sig = ((ka * sh[None, :] + ba) % PERM_P).max(axis=1)
+                rows.append((d, [int(v) for v in sig]))
+            yield pd.DataFrame(rows, columns=[id_col, "sig"])
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col).mapInPandas(
+        fn, schema=f"{id_col} {id_type}, sig array<bigint>"
+    )
+
+
+def jpeg_dct_pairs(docs: DataFrame, id_col: str) -> DataFrame:
+    """Image near-dup candidates in DCT space: LSH banding of the
+    coefficient-plane signatures (8 bands x 1 row — bucket per
+    ``(band_id, sig[band_id])``), pair emission inside buckets, band
+    votes counted. Brightness variants share all AC-derived shingles, so
+    variant pairs surface with high ``n_matching_bands`` — duplicate
+    *images* found by the same machinery that dedups text."""
+    sig = jpeg_dct_signatures(docs, id_col)
+    bands = sig.select(
+        F.col(id_col), F.posexplode("sig").alias("band_id", "band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.countDistinct("band_id").cast("long").alias("n_matching_bands"))
+    )
+
+
+def _jpeg_sig_cte(id_col: str, table: str) -> str:
+    """CTE chain ``jsig(id, sig)`` replaying jpeg_dct_signatures."""
+    from .config import HASH_MOD, PERM_P, SHINGLE_MULT, perm_constants
+    from .jpeg import DCT_M, QUANT_LUMA
+
+    ks, bs = perm_constants(8)
+    m_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in DCT_M) + "]"
+    q_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in QUANT_LUMA) + "]"
+    ks_lit = "[" + ",".join(str(v) for v in ks) + "]"
+    bs_lit = "[" + ",".join(str(v) for v in bs) + "]"
+    s_px = (
+        f"(((iid*31 + fr*57 + least(bu*8+k, h-1)*7 + least(bv*8+c, w-1)*13) % 256) - 128)"
+    )
+    g_uc = (
+        "CAST(floor((list_sum(list_transform(generate_series(0,7), k -> "
+        f"m[u+1][k+1] * {s_px})) + 4096) / 8192.0) AS BIGINT)"
+    )
+    f_uv = (
+        "CAST(floor((list_sum(list_transform(generate_series(0,7), c -> "
+        f"({g_uc}) * m[v+1][c+1])) + 4096) / 8192.0) AS BIGINT)"
+    )
+    qc = (
+        f"list_extract(list_transform([{f_uv}], f -> "
+        "CAST(sign(f) AS BIGINT) * ((abs(f) + qt[u+1][v+1]//2) // qt[u+1][v+1])), 1)"
+    )
+    coefs = (
+        "flatten(flatten(flatten("
+        "list_transform(generate_series(0, (h+7)//8 - 1), bu -> "
+        "list_transform(generate_series(0, (w+7)//8 - 1), bv -> "
+        "list_transform(generate_series(0,7), u -> "
+        f"list_transform(generate_series(0,7), v -> {qc})))))))"
+    )
+    return f"""
+WITH jgeo AS (
+  SELECT {id_col}, {id_col} % {_IMG_GROUP} AS iid,
+         ({id_col} // {_IMG_GROUP}) % 2 AS fr,
+         8 + ({id_col} % {_IMG_GROUP}) % {_SYN_H_MOD} AS h,
+         8 + ({id_col} % {_IMG_GROUP}) % {_SYN_W_MOD} AS w
+  FROM {table}
+), jcoef AS (
+  SELECT {id_col}, {coefs} AS coefs
+  FROM jgeo, (SELECT {m_lit} AS m, {q_lit} AS qt)
+), jsh AS (
+  SELECT {id_col},
+    list_transform(generate_series(1, len(coefs) - 1), i ->
+      ((((coefs[i] % 256) + 256) % 256) * {SHINGLE_MULT}
+       + (((coefs[i+1] % 256) + 256) % 256)) % {HASH_MOD}) AS sh
+  FROM jcoef
+), jsig AS (
+  SELECT {id_col},
+    list_transform(generate_series(1, 8), mm ->
+      list_max(list_transform(sh, hh -> (kk[mm]*hh + bb[mm]) % {PERM_P}))) AS sig
+  FROM jsh, (SELECT {ks_lit} AS kk, {bs_lit} AS bb)
+)"""
+
+
+def jpeg_signature_sql(id_col: str, table: str = "documents") -> str:
+    return _jpeg_sig_cte(id_col, table) + f"\nSELECT {id_col}, sig FROM jsig"
+
+
+def jpeg_pairs_sql(id_col: str, table: str = "documents") -> str:
+    return _jpeg_sig_cte(id_col, table) + f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  CAST(len(list_filter(generate_series(1, 8), mm -> a.sig[mm] = b.sig[mm]))
+       AS BIGINT) AS n_matching_bands
+FROM jsig a JOIN jsig b ON a.{id_col} < b.{id_col}
+WHERE len(list_filter(generate_series(1, 8), mm -> a.sig[mm] = b.sig[mm])) >= 1"""
+
+
 def decode_audio(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """binary -> audio features, REAL decode: WAV/RIFF-PCM payloads run
     the from-scratch parser (``wav.py``); non-WAV raises. Integer features
