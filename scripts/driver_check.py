@@ -31,8 +31,19 @@ def norm(v):
 
 
 def rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    """Canonicalize THE WAY THE DRIVER DOES: pandas sort_values over the
+    name-sorted columns. The round-2 mirror sorted Python tuples, which
+    happily compares list cells — so 4 ARRAY-column queries passed locally
+    while the official gate errored with 'unhashable type: list'. pandas
+    sort_values raises on list cells exactly like the driver."""
+    import pandas as pd
+
+    order = [cols[i] for i in sorted(range(len(cols)), key=lambda i: cols[i])]
+    df = pd.DataFrame(
+        [[norm(v) for v in r] for r in rows], columns=list(cols), dtype=object
+    )[order]
+    df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
+    return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def main() -> int:

@@ -132,3 +132,71 @@ def test_image_dedup_in_dct_space(spark):
         assert pairs.get((base, base + 120)) == 8, f"exact dup {base}"
     assert sum(1 for v in variant_bands if v > 0) >= 20, variant_bands
     assert sum(variant_bands) / 30 >= 1.4, variant_bands
+
+
+# --- 3-component YCbCr 4:2:0 path (the reference's decode predicate:
+#     exactly-3-component streams, /root/reference/jpeg.c:27-32; Y/U/V
+#     plane fill jpeg.c:38-76) ---------------------------------------
+
+
+def _expected_color_planes(rgb: np.ndarray):
+    from imdedup_plus_spark.jpeg import (
+        _plane_blocks, _Q, _QC, rgb_to_ycbcr, subsample_420)
+
+    h, w = rgb.shape[:2]
+    mcuy, mcux = -(-h // 16), -(-w // 16)
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    planes = {}
+    for cid, blocks, q in (
+        (1, _plane_blocks(y, 16 * mcuy, 16 * mcux), _Q),
+        (2, _plane_blocks(subsample_420(cb), 8 * mcuy, 8 * mcux), _QC),
+        (3, _plane_blocks(subsample_420(cr), 8 * mcuy, 8 * mcux), _QC),
+    ):
+        planes[cid] = (
+            np.stack([
+                np.stack([forward_dct_quant(blocks[r, c], q)
+                          for c in range(blocks.shape[1])])
+                for r in range(blocks.shape[0])
+            ]),
+            q,
+        )
+    return planes
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(8, 37), st.integers(8, 37))
+def test_color_roundtrip_identity_random(seed, h, w):
+    """Interleaved-MCU entropy layer (4 Y + Cb + Cr per MCU, separate DC
+    predictors and Huffman/quant tables per class) is lossless: every
+    quantized coefficient of every plane round-trips exactly."""
+    from imdedup_plus_spark.jpeg import decode_jpeg_to_dct_planes, encode_jpeg_color
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    planes, hh, ww = decode_jpeg_to_dct_planes(encode_jpeg_color(rgb))
+    assert (hh, ww) == (h, w) and len(planes) == 3
+    want = _expected_color_planes(rgb)
+    assert [cid for cid, *_ in planes] == [1, 2, 3]  # SOF order Y, Cb, Cr
+    for cid, coefs, q, sh, sv in planes:
+        wcoefs, wq = want[cid]
+        assert (sh, sv) == ((2, 2) if cid == 1 else (1, 1))
+        assert np.array_equal(q, wq)
+        assert np.array_equal(coefs, wcoefs), f"component {cid}"
+
+
+def test_color_subsample_and_convert_edges():
+    """Fixed-point color convert stays in [0, 255] at the RGB extremes
+    (the >>16 == //65536 invariant needs non-negative numerators) and
+    the 4:2:0 box average edge-clamps odd dimensions."""
+    from imdedup_plus_spark.jpeg import rgb_to_ycbcr, subsample_420
+
+    corners = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 0, 0], [0, 0, 255]]],
+        dtype=np.uint8,
+    )
+    for plane in rgb_to_ycbcr(corners):
+        assert plane.min() >= 0 and plane.max() <= 255
+    p = np.arange(15).reshape(3, 5).astype(np.int64)
+    s = subsample_420(p)
+    assert s.shape == (2, 3)
+    assert s[1, 2] == (p[2, 4] * 4 + 2) // 4  # bottom-right fully clamped

@@ -43,7 +43,8 @@ def test_decode_image_real_codec(spark, sf001_docs):
         img = MM.synth_image(int(r["doc_id"]))
         assert (r.height, r.width) == img.shape
         assert r.pixel_sum == int(img.astype(np.int64).sum())
-        assert r.hist == [int(x) for x in np.bincount(img.reshape(-1) >> 5, minlength=8)]
+        hist = [r[f"hist_{b}"] for b in range(8)]
+        assert hist == [int(x) for x in np.bincount(img.reshape(-1) >> 5, minlength=8)]
 
 
 def test_resize_image_real(spark, sf001_docs):
