@@ -113,8 +113,60 @@ def build_queries(spark, sf_dir):
     }
 
 
+def _calibration_probe(sf_dir: str) -> dict:
+    """Fixed-work host-health probe emitted into the bench JSON so a
+    degraded host is distinguishable from a regressed plan across rounds
+    (round 2 lesson: the same code measured 23.9s and 67.2s on this box).
+
+    Healthy-host reference values (this VM, idle, measured alongside a
+    23.2s headline): cpu_matmul_sec ~0.19, parquet_scan_sec ~0.05,
+    shm_leftover_mb 0, load_1m < 2. A bench
+    headline 2x over budget with cpu_matmul_sec 2x over its reference is
+    a host problem; with calibration at reference it's a plan problem.
+    """
+    import shutil
+    import numpy as np
+
+    # a kill -9'd JVM leaves its shuffle in tmpfs, stealing RAM from the
+    # next run — detect, record, and clean OUR OWN scratch dir
+    shm = "/dev/shm/spark-local"
+    leftover_mb = 0
+    if os.path.isdir(shm):
+        leftover_mb = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fn in os.walk(shm)
+            for f in fn
+        ) // (1 << 20)
+        if leftover_mb:
+            shutil.rmtree(shm, ignore_errors=True)
+
+    # warmed, cache-resident matmul: pure CPU rate, no page-fault tax
+    # (fresh large allocs on this VM fault at ~70us/page — see CLAUDE.md)
+    a = np.random.default_rng(0).standard_normal((1024, 1024))
+    a @ a  # warm pages + BLAS threads
+    t0 = time.time()
+    for _ in range(10):
+        a @ a
+    cpu_sec = time.time() - t0
+
+    # single-threaded parquet scan: IO + decompress rate
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    pq.read_table(f"{sf_dir}/documents.parquet")
+    scan_sec = time.time() - t0
+
+    return {
+        "cpu_matmul_sec": round(cpu_sec, 3),
+        "parquet_scan_sec": round(scan_sec, 3),
+        "shm_leftover_mb": leftover_mb,
+        "load_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calibration = _calibration_probe(sf_dir)
     # default 16, not nproc: several headline queries are Arrow-kernel
     # stages, and JVM feeder + Python worker per task saturate the 32-CPU
     # host at 16 (measured: 23.6s headline at 16 vs 28.7s at 32)
@@ -144,6 +196,7 @@ def run_default() -> None:
                 "docs_per_sec_full_pipeline": round(n_docs / timings["clusters"], 1)
                 if timings.get("clusters")
                 else None,
+                "calibration": calibration,
             }
         )
     )
