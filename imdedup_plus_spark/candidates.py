@@ -469,6 +469,13 @@ def verify_pairs_kernel(
                     ab = np.intersect1d(a, b, assume_unique=True)
                     inter[i] = ab.size
                     un[i] = a.size + b.size - ab.size
+                # NOTE an empty-vs-empty pair (inter=un=0) would pass the
+                # Jaccard predicate (0 >= 0) — deliberate and unreachable:
+                # valid_documents filters to >= min_tokens and a signature
+                # needs >= shingle_window tokens, so every doc reaching
+                # verification has a non-empty shingle set. The SQL twin
+                # (verify_pairs) and the chunked form below share the
+                # exact predicate, so all three agree if that ever changes.
                 keep = inter * 100 >= un * pct if jac else n_eq >= thr
                 yield pd.DataFrame(
                     {
@@ -545,6 +552,8 @@ def verify_pairs_kernel(
                     pm[km <= hi_key[pm]], minlength=m
                 )
                 un[lo:hi_] = un_c
+            # empty==empty auto-pass: deliberate, unreachable — see the
+            # per-pair form above (min_tokens/shingle_window upstream)
             keep = (
                 inter * 100 >= un * pct if jac else n_eq >= thr
             )

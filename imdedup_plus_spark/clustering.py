@@ -16,8 +16,10 @@ OOMs planning at scale).
 
 Scale notes (100 TB): each iteration is one shuffle (groupBy dst). The edge
 list is |verified pairs| * 2 — tiny relative to the corpus. For adversarial
-graph shapes (long chains), swap in large-star/small-star; for web dedup the
-simple variant converges in < 5 iterations.
+graph shapes (long chains) ``connected_components_star`` implements
+alternating large-star/small-star (O(log^2 n) rounds, any diameter) behind
+``clusters_from_pairs(..., algorithm="star")``; for web dedup the simple
+variant converges in < 5 iterations and stays the default.
 """
 
 from __future__ import annotations
@@ -104,8 +106,123 @@ def _connected_components_inner(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — converges in O(log^2 n) ROUNDS
+    regardless of component shape, where min-label propagation needs
+    O(diameter) iterations.
+
+    This is the adversarial-graph escape hatch named in the module
+    docstring, behind a flag rather than the default: web-dedup
+    components are shallow variant fan-outs where min-label converges in
+    < 5 rounds with fewer shuffles per round. Switch
+    (``clusters_from_pairs(..., algorithm="star")``) when the pair graph
+    contains long chains (e.g. chained near-dup edits A~B~C~...~Z where
+    consecutive docs pair but distant ones don't).
+
+    Per round: large-star hangs every neighbor larger than ``u`` off
+    ``min(N(u) + u)``, halving tree heights; small-star re-points every
+    smaller neighbor at the local min. Both are one groupBy + one join
+    over the CURRENT edge set (which only shrinks toward the star
+    forest), so each round costs a bounded number of dup-subgraph-sized
+    shuffles. Converged when the canonical edge set is stable; at that
+    point every node has a direct edge to its component min.
+
+    ``stats``, if given, receives {"rounds": <int>} — used by the
+    adversarial-chain test to prove bounded round counts.
+    """
+    spark = nodes.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), cc_parts)))
+    try:
+        return _connected_components_star_inner(nodes, edges, id_col, max_iter, stats)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _connected_components_star_inner(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    # canonical orientation (u > v), self-loops dropped
+    e = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # --- large-star: over the symmetric adjacency, attach every
+        # neighbor v > u to m = min(N(u) + u) ---
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        e1 = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: neighbors of u are all < u here; re-point each
+        # at m = min(N(u)), and u itself at m ---
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            e1.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if unchanged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged star forest: every non-min node has a direct (u, min)
+    # edge; belt-and-braces, label = min over incident edges either way
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    node_min = adj.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(node_min.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.least(F.col(id_col), F.coalesce("mn", F.col(id_col))).alias("cluster_id"),
+        )
+    )
+
+
 def clusters_from_pairs(
-    valid_docs: DataFrame, verified_pairs: DataFrame, id_col: str, max_iter: int = 25
+    valid_docs: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Cluster every valid document; docs in no pair become singletons.
 
@@ -124,9 +241,8 @@ def clusters_from_pairs(
         .union(verified_pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    member_clusters = connected_components(
-        members, verified_pairs, id_col, max_iter=max_iter
-    )
+    cc = connected_components if algorithm == "minlabel" else connected_components_star
+    member_clusters = cc(members, verified_pairs, id_col, max_iter=max_iter)
     singletons = (
         valid_docs.select(id_col)
         .distinct()

@@ -35,3 +35,72 @@ def test_two_components(spark):
 def test_no_edges_all_singletons(spark):
     got = _run(spark, [5, 6, 7], [])
     assert got == {5: 5, 6: 6, 7: 7}
+
+
+# --- large-star/small-star (adversarial-graph escape hatch) ------------
+
+
+def _run_star(spark, node_ids, edge_pairs, max_iter=50, stats=None):
+    from imdedup_plus_spark.clustering import connected_components_star
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(edge_pairs, "id_a long, id_b long")
+    out = connected_components_star(nodes, edges, "id", max_iter=max_iter, stats=stats)
+    return {r.id: r.cluster_id for r in out.collect()}
+
+
+def test_star_matches_minlabel_on_mixed_graph(spark):
+    """Same components as min-label on a mix of shapes: triangle, chain,
+    star fan-out, isolated node."""
+    nodes = list(range(20))
+    edges = (
+        [(0, 1), (1, 2), (0, 2)]          # triangle
+        + [(3, 4), (4, 5), (5, 6)]        # chain
+        + [(10, k) for k in range(11, 16)]  # fan-out
+    )
+    assert _run_star(spark, nodes, edges) == _run(spark, nodes, edges)
+
+
+def test_star_bounded_rounds_on_long_chain(spark):
+    """The case min-label cannot handle: a path graph of n nodes needs
+    O(n) min-label iterations (labels move one hop per round) but
+    O(log^2 n) large-star/small-star rounds. n=300: min-label capped at
+    8 iterations leaves the chain un-merged; star converges, correctly,
+    in <= 10 rounds."""
+    from imdedup_plus_spark.clustering import connected_components
+
+    n = 300
+    nodes = list(range(n))
+    chain = [(i, i + 1) for i in range(n - 1)]
+
+    # min-label, capped: must NOT have converged (far end still wrong)
+    ndf = spark.createDataFrame([(k,) for k in nodes], "id long")
+    edf = spark.createDataFrame(chain, "id_a long, id_b long")
+    capped = {
+        r.id: r.cluster_id
+        for r in connected_components(ndf, edf, "id", max_iter=8).collect()
+    }
+    assert capped[n - 1] != 0, "chain too short to demonstrate the gap"
+
+    stats: dict = {}
+    got = _run_star(spark, nodes, chain, max_iter=50, stats=stats)
+    assert set(got.values()) == {0}
+    assert stats["rounds"] <= 10, stats
+
+
+def test_clusters_from_pairs_star_flag(spark):
+    """clusters_from_pairs(algorithm='star') produces the identical
+    (doc, cluster_id) assignment as the default path, singletons
+    included."""
+    from imdedup_plus_spark.clustering import clusters_from_pairs
+
+    docs = spark.createDataFrame([(k,) for k in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 9)], "id_a long, id_b long"
+    )
+    a = {r.doc_id: r.cluster_id
+         for r in clusters_from_pairs(docs, pairs, "doc_id").collect()}
+    b = {r.doc_id: r.cluster_id
+         for r in clusters_from_pairs(docs, pairs, "doc_id", algorithm="star").collect()}
+    assert a == b
+    assert a[7] == 1 and a[9] == 2 and a[0] == 0
