@@ -637,22 +637,29 @@ FROM (
 )"""
 
 
-def synth_image_rgb(doc_id: int):
+def synth_image_rgb(doc_id: int, frame: int = 0):
     """Color (h, w, 3) uint8 image, same geometry as ``synth_image``
     (h = 8 + id%9, w = 8 + id%7); per-channel formulas are pure integer
-    functions of (id, r, c) so DuckDB replays them exactly:
-    R = (id*31 + r*7 + c*13) % 256, G = (id*17 + r*11 + c*5) % 256,
-    B = (id*23 + r*3 + c*19) % 256."""
+    functions of (id, frame, r, c) so DuckDB replays them exactly:
+    R = (id*31 + frame*57 + r*7 + c*13) % 256,
+    G = (id*17 + frame*57 + r*11 + c*5) % 256,
+    B = (id*23 + frame*57 + r*3 + c*19) % 256.
+    ``frame`` is the brightness-variant shift of the planted image
+    corpus: +57 on all three channels ~= +57 luma (the Y weights sum to
+    65536) while Cb/Cr are unchanged away from mod-256 wrap seams (their
+    weights sum to 0) — the reference's similar-images-in-DCT-space
+    scenario, now on all three planes."""
     import numpy as np
 
     h, w = 8 + doc_id % _SYN_H_MOD, 8 + doc_id % _SYN_W_MOD
     r = np.arange(h, dtype=np.int64)[:, None]
     c = np.arange(w, dtype=np.int64)[None, :]
+    fshift = frame * 57
     return np.stack(
         [
-            (doc_id * 31 + r * 7 + c * 13) % 256,
-            (doc_id * 17 + r * 11 + c * 5) % 256,
-            (doc_id * 23 + r * 3 + c * 19) % 256,
+            (doc_id * 31 + fshift + r * 7 + c * 13) % 256,
+            (doc_id * 17 + fshift + r * 11 + c * 5) % 256,
+            (doc_id * 23 + fshift + r * 3 + c * 19) % 256,
         ],
         axis=-1,
     ).astype(np.uint8)
@@ -716,27 +723,37 @@ def jpeg_ycbcr_stats(docs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jpeg_ycbcr_sql(id_col: str, table: str = "documents") -> str:
-    """DuckDB replay of ``jpeg_ycbcr_stats`` with NO codec: synth RGB ->
-    16-bit fixed-point YCbCr (``jpeg.rgb_to_ycbcr`` constants) ->
-    edge-clamped 2x2 box 4:2:0 subsample -> edge-clamp pad to the MCU
-    grid -> the same integer DCT -> luma/chroma Annex-K quantization,
-    all as list-lambda arithmetic."""
+def _ycc_table_lits() -> str:
+    """FROM-clause literal row providing m (DCT basis), qt (luma quant),
+    qc (chroma quant) to the list-lambda replay expressions."""
     from .jpeg import DCT_M, QUANT_CHROMA, QUANT_LUMA
 
     m_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in DCT_M) + "]"
     ql_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in QUANT_LUMA) + "]"
     qc_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in QUANT_CHROMA) + "]"
+    return f"(SELECT {m_lit} AS m, {ql_lit} AS qt, {qc_lit} AS qc)"
 
-    # per-channel synth value at absolute source coordinates (row, col)
+
+def _ycc_coefs_exprs(idexpr: str, frexpr: str) -> dict[str, str]:
+    """{plane: SQL list expr} of the quantized DCT coefficient stream of
+    the synthetic RGB image identified by ``idexpr`` at brightness frame
+    ``frexpr`` — free variables h, w, mcuy, mcux and the ``_ycc_table_lits``
+    row must be in scope. Replays synth RGB -> fixed-point YCbCr
+    (``jpeg.rgb_to_ycbcr`` constants) -> edge-clamped 2x2 box 4:2:0
+    subsample -> edge-clamp pad to the MCU grid -> integer DCT ->
+    luma/chroma Annex-K quantization, all as list-lambda arithmetic."""
+
+    # per-channel synth value at absolute source coordinates (row, col);
+    # frame*57 is the brightness-variant shift (mod-256 per channel,
+    # matching synth_image_rgb)
     def _r(row, col):
-        return f"(({id_col}*31 + ({row})*7 + ({col})*13) % 256)"
+        return f"(({idexpr}*31 + {frexpr}*57 + ({row})*7 + ({col})*13) % 256)"
 
     def _g(row, col):
-        return f"(({id_col}*17 + ({row})*11 + ({col})*5) % 256)"
+        return f"(({idexpr}*17 + {frexpr}*57 + ({row})*11 + ({col})*5) % 256)"
 
     def _b(row, col):
-        return f"(({id_col}*23 + ({row})*3 + ({col})*19) % 256)"
+        return f"(({idexpr}*23 + {frexpr}*57 + ({row})*3 + ({col})*19) % 256)"
 
     # fixed-point color convert (jpeg.rgb_to_ycbcr: every numerator is
     # non-negative by construction, so >>16 == truncating //65536)
@@ -794,6 +811,18 @@ def jpeg_ycbcr_sql(id_col: str, table: str = "documents") -> str:
             f"list_transform(generate_series(0,7), v -> {quant})))))))"
         )
 
+    return {
+        "y": _coefs(s_y, "qt", "2*mcuy", "2*mcux"),
+        "cb": _coefs(_s_chroma(_cbv), "qc", "mcuy", "mcux"),
+        "cr": _coefs(_s_chroma(_crv), "qc", "mcuy", "mcux"),
+    }
+
+
+def jpeg_ycbcr_sql(id_col: str, table: str = "documents") -> str:
+    """DuckDB replay of ``jpeg_ycbcr_stats`` with NO codec — see
+    ``_ycc_coefs_exprs`` for the replayed pipeline."""
+    exprs = _ycc_coefs_exprs(id_col, "0")
+
     def _stats(plane: str, blocks: str) -> str:
         cl = f"{plane}_coefs"
         return f"""
@@ -805,14 +834,7 @@ def jpeg_ycbcr_sql(id_col: str, table: str = "documents") -> str:
   CAST(list_sum(list_transform(generate_series(0, CAST({blocks} AS INT) - 1),
                                i -> {cl}[64*i + 1])) AS BIGINT) AS {plane}_dc_sum"""
 
-    plane_exprs = ",\n    ".join(
-        f"{_coefs(s, qt, bh, bw)} AS {p}_coefs"
-        for p, s, qt, bh, bw in [
-            ("y", s_y, "qt", "2*mcuy", "2*mcux"),
-            ("cb", _s_chroma(_cbv), "qc", "mcuy", "mcux"),
-            ("cr", _s_chroma(_crv), "qc", "mcuy", "mcux"),
-        ]
-    )
+    plane_exprs = ",\n    ".join(f"{exprs[p]} AS {p}_coefs" for p in _YCC_PLANES)
     stats = ",".join(
         _stats(p, b)
         for p, b in [("y", "4*mcuy*mcux"), ("cb", "mcuy*mcux"), ("cr", "mcuy*mcux")]
@@ -825,15 +847,16 @@ FROM (
   FROM (SELECT {id_col}, h, w, (h+15)//16 AS mcuy, (w+15)//16 AS mcux
         FROM (SELECT {id_col}, 8 + {id_col} % {_SYN_H_MOD} AS h,
                      8 + {id_col} % {_SYN_W_MOD} AS w FROM {table})),
-       (SELECT {m_lit} AS m, {ql_lit} AS qt, {qc_lit} AS qc)
+       {_ycc_table_lits()}
 )"""
 
 
 #: planted image-corpus geometry: image identity repeats every
 #: _IMG_GROUP docs (exact dups) and every _IMG_GROUP*2 docs a brightness
-#: variant appears (frame=1: +57 grey levels -> per-block DC coefficients
-#: shift, AC coefficients are UNCHANGED -> near-dup in DCT space). This
-#: is the reference's core scenario: similar images whose redundancy
+#: variant appears (frame=1: +57 on all three RGB channels -> ~+57 luma,
+#: per-block Y DC coefficients shift while Y AC and both chroma planes
+#: are unchanged away from mod-256 wrap seams -> near-dup in DCT space).
+#: This is the reference's core scenario: similar images whose redundancy
 #: lives in the coefficient planes (/root/reference/2df.c feature stage
 #: over jpeg.c-decoded planes).
 _IMG_GROUP = 60
@@ -848,13 +871,17 @@ def jpeg_dct_signatures(docs: DataFrame, id_col: str) -> DataFrame:
     reference's feature stage (``2df.c:152-423``) applied to its native
     JPEG domain, through the REAL codec:
 
-    planted image -> JFIF encode -> decode to DCT planes -> sample
-    stream ``s[i] = coef[i] mod 256`` (non-negative residue; block-major
-    coefficient order) -> window-2 shingles with the engine's standard
-    polynomial fold ``(s1*SHINGLE_MULT + s2) mod HASH_MOD`` -> per-
-    permutation max of ``(k_m*h + b_m) mod PERM_P`` with the SAME
-    reference permutation constants as the text lane (``2df.c:36-72``).
-    Every step is integer arithmetic, replayed by ``jpeg_signature_sql``.
+    planted COLOR image -> YCbCr 4:2:0 JFIF encode -> decode to ALL
+    THREE quantized DCT planes (the reference fills Y/U/V planes,
+    ``jpeg.c:38-76``, and counts per-component instructions,
+    ``idelta.c:420-458``) -> per-plane sample stream ``s[i] = coef[i]
+    mod 256`` (non-negative residue; block-major coefficient order;
+    shingle windows never cross a plane boundary) -> window-2 shingles
+    with the engine's standard polynomial fold ``(s1*SHINGLE_MULT + s2)
+    mod HASH_MOD`` -> per-permutation max of ``(k_m*h + b_m) mod PERM_P``
+    over the UNION of the three planes' shingles, with the SAME reference
+    permutation constants as the text lane (``2df.c:36-72``). Every step
+    is integer arithmetic, replayed by ``jpeg_signature_sql``.
 
     Output is EXPLODED to one row per (doc, permutation) — the passing
     ``dedup_minhash_signatures`` shape — because a top-level ARRAY column
@@ -863,7 +890,7 @@ def jpeg_dct_signatures(docs: DataFrame, id_col: str) -> DataFrame:
     import numpy as np
 
     from .config import HASH_MOD, PERM_P, SHINGLE_MULT, perm_constants
-    from .jpeg import decode_jpeg_to_dct, encode_jpeg
+    from .jpeg import decode_jpeg_to_dct_planes, encode_jpeg_color
 
     ks, bs = perm_constants(8)
     ka = np.array(ks, dtype=np.int64)[:, None]
@@ -874,10 +901,15 @@ def jpeg_dct_signatures(docs: DataFrame, id_col: str) -> DataFrame:
             rows = []
             for d in pdf[id_col].values:
                 iid, fr = _img_identity(int(d))
-                img = synth_image(iid, frame=fr)
-                coefs, _h, _w, _q = decode_jpeg_to_dct(encode_jpeg(img))
-                s = coefs.reshape(-1) % 256  # non-negative residues
-                sh = (s[:-1] * SHINGLE_MULT + s[1:]) % HASH_MOD
+                rgb = synth_image_rgb(iid, frame=fr)
+                planes, _h, _w = decode_jpeg_to_dct_planes(encode_jpeg_color(rgb))
+                # per-component shingles (idelta.c:420-458's per-component
+                # counters analog): windows never cross a plane boundary
+                shs = []
+                for _cid, coefs, _q, _sh, _sv in planes:  # SOF order Y,Cb,Cr
+                    s = coefs.reshape(-1) % 256  # non-negative residues
+                    shs.append((s[:-1] * SHINGLE_MULT + s[1:]) % HASH_MOD)
+                sh = np.concatenate(shs)
                 sig = ((ka * sh[None, :] + ba) % PERM_P).max(axis=1)
                 rows.extend((d, p, int(v)) for p, v in enumerate(sig))
             yield pd.DataFrame(rows, columns=[id_col, "perm_id", "feature"])
@@ -914,54 +946,47 @@ def jpeg_dct_pairs(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def _jpeg_sig_cte(id_col: str, table: str) -> str:
-    """CTE chain ``jsig(id, sig)`` replaying jpeg_dct_signatures."""
+    """CTE chain ``jsig(id, sig)`` replaying jpeg_dct_signatures: the
+    full color pipeline (``_ycc_coefs_exprs`` on the planted identity
+    iid at brightness frame fr), then per-plane shingle folds unioned
+    before the permutation max."""
     from .config import HASH_MOD, PERM_P, SHINGLE_MULT, perm_constants
-    from .jpeg import DCT_M, QUANT_LUMA
 
     ks, bs = perm_constants(8)
-    m_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in DCT_M) + "]"
-    q_lit = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in QUANT_LUMA) + "]"
     ks_lit = "[" + ",".join(str(v) for v in ks) + "]"
     bs_lit = "[" + ",".join(str(v) for v in bs) + "]"
-    s_px = (
-        f"(((iid*31 + fr*57 + least(bu*8+k, h-1)*7 + least(bv*8+c, w-1)*13) % 256) - 128)"
-    )
-    g_uc = (
-        "CAST(floor((list_sum(list_transform(generate_series(0,7), k -> "
-        f"m[u+1][k+1] * {s_px})) + 4096) / 8192.0) AS BIGINT)"
-    )
-    f_uv = (
-        "CAST(floor((list_sum(list_transform(generate_series(0,7), c -> "
-        f"({g_uc}) * m[v+1][c+1])) + 4096) / 8192.0) AS BIGINT)"
-    )
-    qc = (
-        f"list_extract(list_transform([{f_uv}], f -> "
-        "CAST(sign(f) AS BIGINT) * ((abs(f) + qt[u+1][v+1]//2) // qt[u+1][v+1])), 1)"
-    )
-    coefs = (
-        "flatten(flatten(flatten("
-        "list_transform(generate_series(0, (h+7)//8 - 1), bu -> "
-        "list_transform(generate_series(0, (w+7)//8 - 1), bv -> "
-        "list_transform(generate_series(0,7), u -> "
-        f"list_transform(generate_series(0,7), v -> {qc})))))))"
+    exprs = _ycc_coefs_exprs("iid", "fr")
+    plane_cols = ",\n    ".join(f"{exprs[p]} AS {p}_coefs" for p in _YCC_PLANES)
+
+    def _shingles(cl: str) -> str:
+        return (
+            f"list_transform(generate_series(1, len({cl}) - 1), i -> "
+            f"(((({cl}[i] % 256) + 256) % 256) * {SHINGLE_MULT} "
+            f"+ ((({cl}[i+1] % 256) + 256) % 256)) % {HASH_MOD})"
+        )
+
+    sh_union = (
+        "flatten(["
+        + ", ".join(_shingles(f"{p}_coefs") for p in _YCC_PLANES)
+        + "])"
     )
     return f"""
 WITH jgeo AS (
   SELECT {id_col}, {id_col} % {_IMG_GROUP} AS iid,
          ({id_col} // {_IMG_GROUP}) % 2 AS fr,
          8 + ({id_col} % {_IMG_GROUP}) % {_SYN_H_MOD} AS h,
-         8 + ({id_col} % {_IMG_GROUP}) % {_SYN_W_MOD} AS w
+         8 + ({id_col} % {_IMG_GROUP}) % {_SYN_W_MOD} AS w,
+         (8 + ({id_col} % {_IMG_GROUP}) % {_SYN_H_MOD} + 15) // 16 AS mcuy,
+         (8 + ({id_col} % {_IMG_GROUP}) % {_SYN_W_MOD} + 15) // 16 AS mcux
   FROM {table}
 ), jcoef AS (
-  SELECT {id_col}, {coefs} AS coefs
-  FROM jgeo, (SELECT {m_lit} AS m, {q_lit} AS qt)
-), jsh AS (
   SELECT {id_col},
-    list_transform(generate_series(1, len(coefs) - 1), i ->
-      ((((coefs[i] % 256) + 256) % 256) * {SHINGLE_MULT}
-       + (((coefs[i+1] % 256) + 256) % 256)) % {HASH_MOD}) AS sh
+    {plane_cols}
+  FROM jgeo, {_ycc_table_lits()}
+), jsh AS (
+  SELECT {id_col}, {sh_union} AS sh
   FROM jcoef
-), jsig AS (
+), jsig AS MATERIALIZED (
   SELECT {id_col},
     list_transform(generate_series(1, 8), mm ->
       list_max(list_transform(sh, hh -> (kk[mm]*hh + bb[mm]) % {PERM_P}))) AS sig

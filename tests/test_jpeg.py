@@ -111,15 +111,16 @@ def test_decode_image_routes_jpeg(spark):
 
 def test_image_dedup_in_dct_space(spark):
     """The reference's headline flow on its native domain: MinHash over
-    quantized-DCT planes finds duplicate IMAGES. Planted corpus: doc_id %
-    60 picks the image (exact dups across groups of 60), doc_id//60 %% 2
-    a brightness variant (+57 grey levels: per-block DC shifts, ACs
-    unchanged -> near-dup). Because the synth formula is mod-256, the
-    +57 also MOVES the wrap seam — variants are seam-edited images, not
-    pure brightness shifts, so their coefficient overlap varies per
-    image (measured: 21/30 surface at >= 1 of 8 bands, mean 1.5 bands;
-    all deterministic — no RNG anywhere in the lane). Exact dups must
-    collide on all 8 bands; the variant aggregate must hold."""
+    ALL THREE quantized YCbCr DCT planes finds duplicate IMAGES. Planted
+    corpus: doc_id % 60 picks the image (exact dups across groups of
+    60), doc_id//60 %% 2 a brightness variant (+57 on every RGB channel:
+    ~+57 luma so Y DC shifts while Y AC and the chroma planes are
+    unchanged away from mod-256 wrap seams -> near-dup). The wrap seams
+    MOVE with the shift, so variants are seam-edited images and their
+    coefficient overlap varies per image (measured on the color lane:
+    25/30 surface at >= 1 of 8 bands, mean 1.4 bands; all deterministic
+    — no RNG anywhere in the lane). Exact dups must collide on all 8
+    bands; the variant aggregate must hold."""
     from imdedup_plus_spark.multimodal import jpeg_dct_pairs
 
     docs = spark.range(180).withColumnRenamed("id", "doc_id")
@@ -130,8 +131,8 @@ def test_image_dedup_in_dct_space(spark):
     variant_bands = [pairs.get((b, b + 60), 0) for b in range(30)]
     for base in range(0, 30):
         assert pairs.get((base, base + 120)) == 8, f"exact dup {base}"
-    assert sum(1 for v in variant_bands if v > 0) >= 20, variant_bands
-    assert sum(variant_bands) / 30 >= 1.4, variant_bands
+    assert sum(1 for v in variant_bands if v > 0) >= 24, variant_bands
+    assert sum(variant_bands) / 30 >= 1.3, variant_bands
 
 
 # --- 3-component YCbCr 4:2:0 path (the reference's decode predicate:
