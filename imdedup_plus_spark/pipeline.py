@@ -83,11 +83,16 @@ class CheckpointedPipeline:
         workdir: str,
         cfg: DedupConfig | None = None,
         id_col: str = "doc_id",
+        cc_algorithm: str = "minlabel",
     ) -> None:
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg or DedupConfig()
         self.id_col = id_col
+        #: "minlabel" (default; O(diameter) rounds, fine for shallow web
+        #: fan-outs) or "star" (large-star/small-star, O(log^2 n) rounds
+        #: for adversarial long-chain pair graphs) — see clustering.py
+        self.cc_algorithm = cc_algorithm
         os.makedirs(workdir, exist_ok=True)
 
     # -- lineage -----------------------------------------------------------
@@ -180,7 +185,9 @@ class CheckpointedPipeline:
         verified = self._stage("verified_pairs", _build_verified)
 
         def _build_clusters() -> DataFrame:
-            rep_clusters = CL.clusters_from_pairs(sig, verified, idc)
+            rep_clusters = CL.clusters_from_pairs(
+                sig, verified, idc, algorithm=self.cc_algorithm
+            )
             if exact_groups is None:
                 return rep_clusters
             # expand: every member inherits its representative's cluster id

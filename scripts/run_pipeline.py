@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--verify-jaccard-pct", type=int, default=30)
     ap.add_argument("--verify-sketch-k", type=int, default=0,
                     help="0 = exact full-set Jaccard; k>0 = KMV bottom-k sketch verification (recall-equivalent at k>=96 on the planted corpus, ~|set|/k less verify shuffle)")
+    ap.add_argument("--hot-window", type=int, default=0,
+                    help="0 = drop buckets above --bucket-cap (reference parity); W>0 = sorted-neighborhood pairing inside hot buckets (SCALE_CONFIG uses 4 — the corpus-size-stable recall tier, see BENCH/BASELINE.md)")
+    ap.add_argument("--cc-algorithm", choices=("minlabel", "star"), default="minlabel",
+                    help="connected components: minlabel = O(diameter) rounds (default; web dup graphs are shallow); star = large-star/small-star, O(log^2 n) rounds for adversarial long-chain graphs")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -55,6 +59,7 @@ def main() -> int:
         bucket_cap=args.bucket_cap,
         verify_jaccard_pct=args.verify_jaccard_pct,
         verify_sketch_k=args.verify_sketch_k,
+        hot_window=args.hot_window,
     )
     spark = get_spark(
         app_name="imdedup-plus-spark-pipeline",
@@ -63,7 +68,10 @@ def main() -> int:
     )
     docs = spark.read.parquet(args.input)
     t0 = time.time()
-    pipe = CheckpointedPipeline(spark, args.workdir, cfg, id_col=args.id_col)
+    pipe = CheckpointedPipeline(
+        spark, args.workdir, cfg, id_col=args.id_col,
+        cc_algorithm=args.cc_algorithm,
+    )
     res = pipe.run(docs)
     summary = {
         "n_docs": docs.count(),

@@ -86,6 +86,41 @@ def test_jfif_structure_and_validation():
         decode_jpeg_to_dct(data[:-2])  # EOI stripped
 
 
+def _strip_segments(data: bytes, tag: int) -> bytes:
+    """Remove every marker segment with the given tag (surgical corruption)."""
+    out = bytearray(data[:2])
+    pos = 2
+    while pos + 1 < len(data):
+        t = data[pos + 1]
+        if t == 0xDA:  # SOS: keep scan header + entropy + EOI verbatim
+            out += data[pos:]
+            break
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if t != tag:
+            out += data[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return bytes(out)
+
+
+def test_malformed_streams_raise_valueerror():
+    """ADVICE r02 #1/#2: JPEG-magic payloads missing mandatory segments or
+    with truncated entropy data must fail with a clear ValueError, never a
+    TypeError/IndexError (decode_image routes any FF D8 FF bytes here)."""
+    data = encode_jpeg(synth_image(3))
+    with pytest.raises(ValueError, match="SOS before SOF0"):
+        decode_jpeg_to_dct(_strip_segments(data, 0xC0))
+    with pytest.raises(ValueError, match="missing Huffman"):
+        decode_jpeg_to_dct(_strip_segments(data, 0xC4))
+    with pytest.raises(ValueError, match="missing quantization"):
+        decode_jpeg_to_dct(_strip_segments(data, 0xDB))
+    # entropy body chopped to a single byte: the bit reader must raise,
+    # not run off the end of the buffer
+    sos = data.find(b"\xff\xda")
+    sos_end = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    with pytest.raises(ValueError):
+        decode_jpeg_to_dct(data[: sos_end + 1] + b"\xff\xd9")
+
+
 def test_zigzag_is_a_permutation():
     assert sorted(ZIGZAG) == [(r, c) for r in range(8) for c in range(8)]
     # spec spot checks
