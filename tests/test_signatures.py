@@ -41,6 +41,57 @@ def test_arrow_kernel_matches_hof(spark, sf001_docs):
     assert a == b
 
 
+def test_arrow_kernel_adversarial_text(spark):
+    """The chunked-flat kernel's codepoint-array tokenizer must match the
+    per-token reference on every edge: Unicode whitespace that is NOT in
+    WS_CLASS (nbsp, ideographic space stay word chars), astral codepoints,
+    multi-char lower() expansions, runs of separators, doc lengths around
+    the chunk boundaries, and dropped (too-short / empty) docs interleaved
+    with kept ones."""
+    import numpy as np
+
+    texts = [
+        "",                                     # dropped
+        " \t\n\x0b\f\r ",                       # separators only — dropped
+        "one-token",                            # dropped (min_tokens=2)
+        "a\tb\x0bc\fd\re f",
+        "\xa0nbsp\xa0is one token here",        # nbsp is NOT a separator
+        "　ideographic　space tokens",
+        "\U0001F600 emoji \U0001F600 emoji",    # astral plane
+        "İstanbul LOWER dotted I",         # lower() expands to 2 chars
+        "tab\t\t\tmulti   space",
+        ("ab " * 500).strip(),                  # long repetitive doc
+        "x y " * 70,                            # crosses the 64-doc chunk? no
+    ] + [f"doc {i} filler words alpha beta {i}" for i in range(80)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (list(r.sig),
+                   np.frombuffer(r.shingle_set, dtype="<i4").tolist(),
+                   r.n_set_true)
+        for r in S.signature_kernel_arrow(df, CFG, "doc_id").collect()
+    }
+    for doc_id, text in rows:
+        exp_sig = S._sig_of_text_py(text, CFG)  # lowers internally
+        if exp_sig is None:
+            assert doc_id not in got, doc_id
+            continue
+        assert got[doc_id][0] == exp_sig, doc_id
+        # shingle set: sorted distinct of the reference shingles
+        toks = S.ascii_tokens(text.lower())
+        whs = [S._word_hash_py(t) for t in toks]
+        win = CFG.shingle_window
+        sh = []
+        for i in range(len(whs) - win + 1):
+            acc = 0
+            for h in whs[i : i + win]:
+                acc = (acc * S.SHINGLE_MULT + h) % S.HASH_MOD
+            sh.append(acc)
+        exp_set = sorted(set(sh))
+        assert got[doc_id][1] == exp_set, doc_id
+        assert got[doc_id][2] == len(exp_set), doc_id
+
+
 def test_validity_filter_drops_short_docs(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "one"), (3, "two tokens")], "doc_id long, text string"
