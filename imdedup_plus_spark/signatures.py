@@ -268,6 +268,125 @@ def _arange_segments(counts):
     return np.cumsum(ids)
 
 
+#: 31^j mod 2^31 table, grown on demand to the longest token seen.
+#: Per Python worker process (deterministic values, no sharing needed).
+_POW31 = None
+
+
+def _pow31_table(n: int):
+    import numpy as np
+
+    global _POW31
+    if _POW31 is None:
+        _POW31 = np.array(
+            [pow(WORD_MULT, j, HASH_MOD) for j in range(64)], dtype=np.uint64
+        )
+    while _POW31.size < n:
+        _POW31 = np.concatenate(
+            (_POW31, (_POW31[-1] * _POW31[1:]) % np.uint64(HASH_MOD))
+        )
+    return _POW31
+
+
+def _flat_word_hashes(chunk_texts: list[str]):
+    """Vectorized ``ascii_tokens`` + Horner word hash for a chunk of
+    already-``lower()``-ed texts — the shared tokenize/hash primitive of
+    the signature and SimHash kernels, zero per-token Python.
+
+    The chunk is joined with a single space and decoded once via
+    ``utf-32-le`` (a straight codepoint dump, so ``ord(c)`` arithmetic
+    vectorizes exactly). Tokens are runs between the canonical
+    6-codepoint WS_CLASS separators; the per-token Horner hash
+    ``(h*31 + cp) % 2**31`` is computed as ``sum(cp_i * 31^(L-1-i)) mod
+    2**31`` (mod-2^31 == bitmask; per-word sums via one
+    ``np.add.reduceat``). Bit-identical to
+    ``[_word_hash_py(t) for t in ascii_tokens(s)]`` (tested, including
+    adversarial Unicode).
+
+    Returns ``(wh_all uint64, wdoc int64, n_tok int64)``: word hashes in
+    doc-major order, each word's doc index, and per-doc token counts
+    (length ``len(chunk_texts)``; 0 for token-free docs).
+    """
+    import numpy as np
+
+    ndoc = len(chunk_texts)
+    M = np.uint64(HASH_MOD)
+    MASK31 = np.uint64(HASH_MOD - 1)
+    joined = " ".join(chunk_texts)
+    cp = np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
+    doc_len = np.fromiter((len(s) for s in chunk_texts), dtype=np.int64, count=ndoc)
+    doc_char_end = np.cumsum(doc_len + 1)
+    # separator mask: exactly WS_CLASS = [ \t\n\x0B\f\r]
+    is_sep = ((cp >= 9) & (cp <= 13)) | (cp == 32)
+    sep = np.empty(cp.size + 2, dtype=bool)
+    sep[0] = sep[-1] = True
+    sep[1:-1] = is_sep
+    body = ~is_sep
+    starts = np.nonzero(body & sep[:-2])[0]
+    if starts.size == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.zeros(ndoc, dtype=np.int64),
+        )
+    ends = np.nonzero(body & sep[2:])[0] + 1
+    wlen = ends - starts
+    pos = np.repeat(starts, wlen) + _arange_segments(wlen)
+    off = np.repeat(ends, wlen) - 1 - pos
+    pw = _pow31_table(int(wlen.max()) + 1)
+    terms = (cp[pos].astype(np.uint64) * pw[off]) & MASK31
+    wstarts = np.concatenate(([0], np.cumsum(wlen)[:-1]))
+    wh_all = np.add.reduceat(terms, wstarts) & MASK31
+    wdoc = np.searchsorted(doc_char_end, starts, side="right")
+    n_tok = np.bincount(wdoc, minlength=ndoc)
+    return wh_all, wdoc, n_tok
+
+
+def _iter_text_chunks(id_vals, text_vals, chunk_docs: int = 64,
+                      chunk_chars: int = 1 << 18):
+    """Yield ``(lowered_texts, ids)`` slices for the flat kernels: at most
+    ``chunk_docs`` docs (L2-residency of the flat temporaries — measured
+    in ``signature_kernel_arrow``'s docstring) and ``chunk_chars`` chars
+    (mega-doc guard) per slice."""
+    chunk_texts, ids_chunk, nchars = [], [], 0
+    for doc_id, text in zip(id_vals, text_vals):
+        s = str(text).lower()
+        chunk_texts.append(s)
+        ids_chunk.append(doc_id)
+        nchars += len(s)
+        if len(chunk_texts) >= chunk_docs or nchars >= chunk_chars:
+            yield chunk_texts, ids_chunk
+            chunk_texts, ids_chunk, nchars = [], [], 0
+    if chunk_texts:
+        yield chunk_texts, ids_chunk
+
+
+def _flat_shingles(wh, n_tok_k, win: int):
+    """Flat ``shingle_window``-gram hashes over doc-major word hashes,
+    masking windows that would cross a doc boundary. ``n_tok_k`` must be
+    per-doc token counts of the docs present in ``wh`` (all >= win).
+
+    Returns ``(sh uint64, sh_starts int64, n_sh int64)`` — shingles in
+    doc-major order plus per-doc segment starts/counts for ``reduceat``.
+    """
+    import numpy as np
+
+    M = np.uint64(HASH_MOD)
+    SM = np.uint64(SHINGLE_MULT)
+    n = wh.size
+    sh_full = wh[: n - win + 1].copy()
+    for j in range(1, win):
+        sh_full = (sh_full * SM + wh[j : n - win + 1 + j]) % M
+    tstarts = np.concatenate(([0], np.cumsum(n_tok_k)[:-1]))
+    n_sh = n_tok_k - win + 1
+    spos = np.repeat(tstarts, n_sh) + _arange_segments(n_sh)
+    sh = sh_full[spos]
+    sh_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    return sh, sh_starts, n_sh
+
+
 def signature_kernel_arrow(
     df: DataFrame, cfg: DedupConfig, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -310,71 +429,24 @@ def signature_kernel_arrow(
     win = cfg.shingle_window
     min_toks = max(cfg.min_tokens, cfg.shingle_window)
     P = np.uint64(PERM_P)
-    M = np.uint64(HASH_MOD)
     MASK31 = np.uint64(HASH_MOD - 1)
-    SM = np.uint64(SHINGLE_MULT)
     langs = None if cfg.langs is None else sorted(set(cfg.langs))
     sketch_k = cfg.verify_sketch_k
     CHUNK_DOCS = 64          # L2-residency (see docstring measurements)
     CHUNK_CHARS = 1 << 18    # mega-doc guard: bounds flat temporaries
 
-    # 31^j mod 2^31, grown on demand to the longest token seen
-    pow31 = np.array([pow(WORD_MULT, j, HASH_MOD) for j in range(64)],
-                     dtype=np.uint64)
-
-    def _pow31(n: int):
-        nonlocal pow31
-        while pow31.size < n:
-            pow31 = np.concatenate((pow31, (pow31[-1] * pow31[1:]) % M))
-        return pow31
-
     def _emit_chunk(chunk_texts, ids_chunk, ids, sigs, sets, nsets):
-        ndoc = len(chunk_texts)
-        joined = " ".join(chunk_texts)
-        cp = np.frombuffer(
-            joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
-        )
-        doc_len = np.fromiter(
-            (len(s) for s in chunk_texts), dtype=np.int64, count=ndoc
-        )
-        doc_char_end = np.cumsum(doc_len + 1)
-        # separator mask: exactly WS_CLASS = [ \t\n\x0B\f\r]
-        is_sep = ((cp >= 9) & (cp <= 13)) | (cp == 32)
-        sep = np.empty(cp.size + 2, dtype=bool)
-        sep[0] = sep[-1] = True
-        sep[1:-1] = is_sep
-        body = ~is_sep
-        starts = np.nonzero(body & sep[:-2])[0]
-        if starts.size == 0:
+        wh_all, wdoc, n_tok = _flat_word_hashes(chunk_texts)
+        if wh_all.size == 0:
             return
-        ends = np.nonzero(body & sep[2:])[0] + 1
-        wlen = ends - starts
-        # per-char Horner weight 31^(offset from word end), summed per word
-        pos = np.repeat(starts, wlen) + _arange_segments(wlen)
-        off = np.repeat(ends, wlen) - 1 - pos
-        pw = _pow31(int(wlen.max()) + 1)
-        terms = (cp[pos].astype(np.uint64) * pw[off]) & MASK31
-        wstarts = np.concatenate(([0], np.cumsum(wlen)[:-1]))
-        wh_all = np.add.reduceat(terms, wstarts) & MASK31
-        # word -> doc; validity filter; drop dropped docs' words
-        wdoc = np.searchsorted(doc_char_end, starts, side="right")
-        n_tok = np.bincount(wdoc, minlength=ndoc)
+        # validity filter; drop dropped docs' words
         keep = n_tok >= min_toks
         nk = int(keep.sum())
         if nk == 0:
             return
         wh = wh_all[keep[wdoc]]
         n_tok_k = n_tok[keep]
-        # flat shingles, masking windows that would cross a doc boundary
-        n = wh.size
-        sh_full = wh[: n - win + 1].copy()
-        for j in range(1, win):
-            sh_full = (sh_full * SM + wh[j : n - win + 1 + j]) % M
-        tstarts = np.concatenate(([0], np.cumsum(n_tok_k)[:-1]))
-        n_sh = n_tok_k - win + 1
-        spos = np.repeat(tstarts, n_sh) + _arange_segments(n_sh)
-        sh = sh_full[spos]
-        sh_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+        sh, sh_starts, n_sh = _flat_shingles(wh, n_tok_k, win)
         # per-permutation 1-D max-hash (segment max per doc)
         sig_chunk = np.empty((nk, len(ks_l)), dtype=np.int64)
         tmp = np.empty_like(sh)
@@ -421,16 +493,9 @@ def signature_kernel_arrow(
                 id_vals = id_vals[mask]
                 text_vals = text_vals[mask]
             ids, sigs, sets, nsets = [], [], [], []
-            chunk_texts, ids_chunk, nchars = [], [], 0
-            for doc_id, text in zip(id_vals, text_vals):
-                s = str(text).lower()
-                chunk_texts.append(s)
-                ids_chunk.append(doc_id)
-                nchars += len(s)
-                if len(chunk_texts) >= CHUNK_DOCS or nchars >= CHUNK_CHARS:
-                    _emit_chunk(chunk_texts, ids_chunk, ids, sigs, sets, nsets)
-                    chunk_texts, ids_chunk, nchars = [], [], 0
-            if chunk_texts:
+            for chunk_texts, ids_chunk in _iter_text_chunks(
+                id_vals, text_vals, CHUNK_DOCS, CHUNK_CHARS
+            ):
                 _emit_chunk(chunk_texts, ids_chunk, ids, sigs, sets, nsets)
             yield pd.DataFrame(
                 {id_col: ids, "sig": sigs, "shingle_set": sets,

@@ -420,14 +420,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 def simhash_sh_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """numpy twin of ``simhash_sh`` — identical 48-bit values (tested),
     Arrow-batched execution. The HOF form evaluates 48 interpreted
-    ``filter`` lambdas per document; this computes the same per-bit
-    majority votes as one (n_shingles x 48) bit-matrix reduction."""
+    ``filter`` lambdas per document; this runs the shared chunked-flat
+    tokenizer/hasher (``signatures._flat_word_hashes`` — zero per-token
+    Python) and computes the per-bit majority votes as 48 one-dimensional
+    segment reductions over the chunk's flat shingle array."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    from .config import HASH_MOD, PERM_P, SHINGLE_MULT, REFERENCE_CONFIG as _CFG
-    from .signatures import _word_hash_py
+    from .config import PERM_P, REFERENCE_CONFIG as _CFG
+    from .signatures import _flat_shingles, _flat_word_hashes, _iter_text_chunks
 
     win = _CFG.shingle_window
     perm_bits = _simhash_sh_perm_bits()
@@ -435,9 +437,6 @@ def simhash_sh_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> D
     k0, b0, _ = perm_bits[0]
     k1, b1, _ = perm_bits[SIMHASH_BITS_PER_PERM]
     P = np.uint64(PERM_P)
-    M = np.uint64(HASH_MOD)
-    SM = np.uint64(SHINGLE_MULT)
-    R = np.arange(SIMHASH_BITS_PER_PERM, dtype=np.uint64)
     W0 = np.uint64(1) << np.arange(0, SIMHASH_BITS_PER_PERM, dtype=np.uint64)
     W1 = np.uint64(1) << np.arange(
         SIMHASH_BITS_PER_PERM, SIMHASH_PAIR_BITS, dtype=np.uint64
@@ -446,25 +445,26 @@ def simhash_sh_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> D
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, out = [], []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = ascii_tokens(str(text).lower())
-                if len(toks) < win:
-                    ids.append(doc_id)
-                    out.append(0)
-                    continue
-                wh = np.array([_word_hash_py(t) for t in toks], dtype=np.uint64)
-                sh = wh[: len(wh) - win + 1].copy()
-                for j in range(1, win):
-                    sh = (sh * SM + wh[j : len(wh) - win + 1 + j]) % M
-                n = sh.size
-                h = 0
-                for (k, b, weights) in ((k0, b0, W0), (k1, b1, W1)):
-                    p = (sh * np.uint64(k) + np.uint64(b)) % P
-                    bits = (p[:, None] >> R) & np.uint64(1)  # (n, 24)
-                    counts = bits.sum(axis=0)
-                    h += int(weights[2 * counts > n].sum())
-                ids.append(doc_id)
-                out.append(h)
+            for chunk_texts, ids_chunk in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ids.extend(ids_chunk)
+                wh_all, wdoc, n_tok = _flat_word_hashes(chunk_texts)
+                keep = n_tok >= win
+                nk = int(keep.sum())
+                h = np.zeros(len(chunk_texts), dtype=np.uint64)
+                if nk:
+                    wh = wh_all[keep[wdoc]]
+                    sh, sh_starts, n_sh = _flat_shingles(wh, n_tok[keep], win)
+                    hk = np.zeros(nk, dtype=np.uint64)
+                    for (k, b, weights) in ((k0, b0, W0), (k1, b1, W1)):
+                        p = (sh * np.uint64(k) + np.uint64(b)) % P
+                        for r, w in enumerate(weights):
+                            bit = (p >> np.uint64(r)) & np.uint64(1)
+                            counts = np.add.reduceat(bit, sh_starts)
+                            hk += np.where(2 * counts > n_sh, w, np.uint64(0))
+                    h[keep] = hk
+                out.extend(h.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: ids, "simhash": np.array(out, dtype=np.int64)})
 
     id_type = docs.schema[id_col].dataType.simpleString()
@@ -517,29 +517,38 @@ def simhash_pairs_kernel(
 
 def simhash_kernel(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """numpy twin of ``simhash`` (32-bit word-hash SimHash) — identical
-    values, Arrow-batched bit-matrix majority vote."""
+    values; shared chunked-flat tokenizer/hasher + 32 one-dimensional
+    segment reductions for the per-bit majority votes."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    from .signatures import _word_hash_py
+    from .signatures import _flat_word_hashes, _iter_text_chunks
 
-    R = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    W = np.uint64(1) << R
+    W = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, out = [], []
-            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = ascii_tokens(str(text).lower())
-                ids.append(doc_id)
-                if not toks:
-                    out.append(0)
-                    continue
-                wh = np.array([_word_hash_py(t) for t in toks], dtype=np.uint64)
-                bits = (wh[:, None] >> R) & np.uint64(1)
-                counts = bits.sum(axis=0)
-                out.append(int(W[2 * counts > len(wh)].sum()))
+            for chunk_texts, ids_chunk in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ids.extend(ids_chunk)
+                wh_all, wdoc, n_tok = _flat_word_hashes(chunk_texts)
+                keep = n_tok > 0
+                nk = int(keep.sum())
+                h = np.zeros(len(chunk_texts), dtype=np.uint64)
+                if nk:
+                    wh = wh_all[keep[wdoc]]
+                    n_tok_k = n_tok[keep]
+                    tstarts = np.concatenate(([0], np.cumsum(n_tok_k)[:-1]))
+                    hk = np.zeros(nk, dtype=np.uint64)
+                    for r, w in enumerate(W):
+                        bit = (wh >> np.uint64(r)) & np.uint64(1)
+                        counts = np.add.reduceat(bit, tstarts)
+                        hk += np.where(2 * counts > n_tok_k, w, np.uint64(0))
+                    h[keep] = hk
+                out.extend(h.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: ids, "simhash": np.array(out, dtype=np.int64)})
 
     id_type = docs.schema[id_col].dataType.simpleString()
