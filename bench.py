@@ -48,6 +48,10 @@ def build_queries(spark, sf_dir):
         _force(S.signature_kernel_arrow(docs, CFG, ID).select(ID, "sig"))
 
     def q_verified_pairs():
+        # NOT persisted (measured): sig feeds the band explode and both
+        # verify join sides, but at sf0.1 letting Catalyst column-prune
+        # each use (bands need only sig; verify needs only the KMV set)
+        # beats materializing the full kernel row once (5.2s vs 6.1-7.1s).
         sig = S.signature_kernel_arrow(docs, CFG, ID)
         bands = S.explode_bands(sig, CFG, ID)
         _force(C.verify_pairs_kernel(C.candidate_pairs(bands, CFG, ID), sig, CFG, ID))
