@@ -90,7 +90,7 @@ _QUERY_ORDER = [
     "dedup_band_buckets", "dedup_candidate_pairs",
     "dedup_candidate_pairs_hotwin", "dedup_verified_pairs",
     "dedup_best_base", "dedup_unique_docs", "dedup_clusters",
-    "dedup_similarity_histogram", "dedup_global_metrics",
+    "dedup_incremental_clusters", "dedup_global_metrics",
     # stage 2: spans + restore
     "dedup_spans", "dedup_span_summary", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
@@ -113,9 +113,10 @@ _QUERY_ORDER = [
     "tpch_pricing_summary", "tpch_top_orders_per_segment",
     "events_sessionize", "events_json_extract", "orders_monthly_revenue",
     "orders_rollup_revenue", "events_windowed_counts", "events_orders_asof",
-    # ---- position 51+: pure projections of checked lanes ----
+    # ---- position 51+: pure projections / folds of checked lanes ----
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
+    "dedup_similarity_histogram",
 ]
 
 
@@ -187,6 +188,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- connected components clustering (SURVEY §7 M4) ---
     q["dedup_clusters"] = _clusters
+
+    # --- incremental cluster maintenance: fold the corpus in two epochs
+    #     (even doc_ids first, then the rest) through update_clusters —
+    #     quotient-graph CC + broadcast relabel, never a corpus-wide CC
+    #     rerun. The oracle is the FULL-BATCH clusters SQL, so a green row
+    #     proves incremental == batch bit-for-bit (the same invariant
+    #     tests/test_incremental_cc.py asserts on adversarial shapes). ---
+    def _inc_clusters(spark, sf):
+        sig = _sig(spark, sf)
+        ver = _verified(spark, sf).localCheckpoint(eager=True)
+        even = lambda c: F.col(c) % 2 == 0
+        p1 = ver.where(even("id_a") & even("id_b")).select("id_a", "id_b")
+        p2 = ver.where(~(even("id_a") & even("id_b"))).select("id_a", "id_b")
+        c1 = CL.clusters_from_pairs(sig.where(even(ID)).select(ID), p1, ID)
+        return CL.update_clusters(c1, sig.where(~even(ID)).select(ID), p2, ID)
+
+    q["dedup_incremental_clusters"] = _inc_clusters
 
     q["dedup_cluster_sizes"] = lambda spark, sf: CL.cluster_sizes(_clusters(spark, sf))
 
@@ -554,6 +572,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT id_a FROM verified UNION SELECT id_b FROM verified)"
         ),
         "dedup_clusters": sq("SELECT id AS doc_id, cluster_id FROM clusters"),
+        # incremental maintenance must reproduce the full-batch assignment
+        # exactly — same oracle as dedup_clusters, by design
+        "dedup_incremental_clusters": sq(
+            "SELECT id AS doc_id, cluster_id FROM clusters"
+        ),
         "dedup_cluster_sizes": sq(
             "SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size "
             "FROM clusters GROUP BY 1"

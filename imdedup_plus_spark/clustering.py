@@ -256,3 +256,131 @@ def cluster_sizes(clusters: DataFrame) -> DataFrame:
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance
+# ---------------------------------------------------------------------------
+
+
+def merge_remap(
+    existing: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """(old_label, new_label) relabeling induced by merging ``new_pairs``
+    into the ``existing`` (id, cluster_id) assignment — the core of
+    incremental cluster maintenance.
+
+    Scale shape: connected components run over the QUOTIENT graph — one
+    node per existing cluster touched by a new pair (plus never-seen pair
+    endpoints, labeled as themselves) — never over the corpus or the
+    accumulated pair set. An epoch that brings P pairs costs a CC over at
+    most 2P quotient nodes regardless of how many docs the touched
+    clusters contain; the output is one row per cluster whose label
+    actually changes, which is what makes the downstream relabel a
+    broadcast join (see ``update_clusters``).
+
+    Correctness: ``existing`` labels are component min-ids (what
+    ``clusters_from_pairs`` emits) and unseen endpoints label themselves,
+    so each quotient node's label is the min doc id of the docs it
+    represents; the min over a merged quotient component is therefore the
+    min over all member docs — exactly the label a full batch rerun over
+    (old pairs + new pairs) would assign. ``tests/test_incremental_cc.py``
+    asserts this equivalence property-style.
+    """
+    ends = (
+        new_pairs.select(F.col("id_a").alias(id_col))
+        .union(new_pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # endpoint -> current label; never-seen endpoints label themselves.
+    # The join is keyed by doc id: with the store bucketed/bulk-sorted on
+    # id (Iceberg bucket transform at scale) this prunes to the touched
+    # buckets instead of scanning the assignment.
+    lab = (
+        ends.join(existing, id_col, "left")
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce("cluster_id", F.col(id_col)).alias("qlabel"),
+        )
+    )
+    edges_q = (
+        new_pairs.join(
+            lab.withColumnRenamed("id", "id_a").withColumnRenamed("qlabel", "la"),
+            "id_a",
+        )
+        .join(
+            lab.withColumnRenamed("id", "id_b").withColumnRenamed("qlabel", "lb"),
+            "id_b",
+        )
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+        .distinct()
+    )
+    nodes_q = (
+        edges_q.select(F.col("id_a").alias("qnode"))
+        .union(edges_q.select(F.col("id_b").alias("qnode")))
+        .distinct()
+    )
+    cc = connected_components if algorithm == "minlabel" else connected_components_star
+    merged = cc(nodes_q, edges_q, "qnode", max_iter=max_iter)
+    return merged.where(F.col("qnode") != F.col("cluster_id")).select(
+        F.col("qnode").alias("old_label"), F.col("cluster_id").alias("new_label")
+    )
+
+
+def update_clusters(
+    existing: DataFrame,
+    new_docs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """Fold one epoch's arrivals into an existing cluster assignment
+    WITHOUT recomputing connected components over the accumulated pair
+    set: result is bit-identical to ``clusters_from_pairs`` over the
+    union of all pairs seen so far (tests/test_incremental_cc.py).
+
+    ``existing``: (id_col, cluster_id) — the assignment after previous
+    epochs (labels must be component min-ids, as ``clusters_from_pairs``
+    and this function emit). ``new_docs``: ids arriving this epoch (pairs
+    or not — unpaired arrivals become singletons). ``new_pairs``:
+    (id_a, id_b) verified this epoch; endpoints may be old docs, new
+    docs, or both (late pairs between two old docs are handled).
+
+    Scale shape (the 10^12-doc argument): the iterative work runs on the
+    quotient graph (``merge_remap``); the corpus-sized ``existing`` table
+    is never shuffled — it is scanned once through a BROADCAST hash join
+    against the remap (rows = clusters whose label changed this epoch,
+    i.e. the merge events, not the docs). New rows append. An epoch
+    therefore costs O(batch + touched clusters) compute and one
+    map-side-joined pass over the assignment; contrast a full rerun,
+    which pays a corpus-wide CC every epoch. The streaming store variant
+    (streaming.update_cluster_store) avoids even the assignment rewrite
+    by keeping the remap as data.
+    """
+    remap = merge_remap(existing, new_pairs, id_col, max_iter, algorithm)
+    updated = (
+        existing.join(
+            F.broadcast(remap), existing.cluster_id == remap.old_label, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+        )
+    )
+    fresh = (
+        new_docs.select(id_col)
+        .distinct()
+        .join(existing.select(id_col), id_col, "left_anti")
+        .join(F.broadcast(remap), F.col(id_col) == remap.old_label, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("new_label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return updated.unionByName(fresh)

@@ -437,6 +437,190 @@ def run_incremental_stream(
     q.awaitTermination()
 
 
+def update_cluster_store(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "url",
+) -> list[int]:
+    """Fold every committed-but-unfolded pairs epoch into an incrementally
+    maintained cluster assignment; returns the epochs folded this call.
+    After folding, ``read_clusters`` equals a full batch
+    ``clusters_from_pairs`` over all docs and pairs seen so far
+    (tests/test_streaming.py asserts bit-equality).
+
+    The reference's grouping is implicit base->target chaining within one
+    batch (``/root/reference/2df.c:459-498``); a continuous crawl needs
+    the accumulated grouping maintained across batches without recomputing
+    components over the ever-growing pair set. State, under ``state_dir``:
+
+    * ``clusters_base/epoch=k`` — (id, label0): one row per doc first seen
+      in epoch k, labeled as of that epoch's merges. Append-only, O(batch)
+      per epoch.
+    * ``cluster_remap/epoch=k`` — the CUMULATIVE (old_label -> new_label)
+      snapshot after epoch k, rows only for labels that ever changed (=
+      merge events, not docs). Composing it with epoch k's quotient-CC
+      delta (``clustering.merge_remap``) is a map-side broadcast join plus
+      a union: delta old-labels are current labels while snapshot
+      old-labels are permanently retired ones (labels are component
+      min-ids and mins only decrease), so the two domains are provably
+      disjoint and no corpus-scale shuffle ever happens. Old epochs'
+      snapshots are GC-able (only the latest is read; earlier ones give
+      time-travel). On Iceberg the snapshot rewrite becomes MERGE INTO on
+      the remap table.
+    * ``_cluster_epochs/`` — one manifest per folded epoch, written LAST;
+      a replayed fold of a committed epoch no-ops (crash-safe: the
+      epoch's partitions are cleared before rewriting).
+
+    Per epoch this costs: a CC over the quotient graph of TOUCHED cluster
+    labels (at most 2 x batch pairs nodes), one broadcast-joined pass to
+    label the batch's new docs, and the snapshot rewrite — never a shuffle
+    or rewrite of the corpus-sized assignment.
+    """
+    import json
+    import os
+    import shutil
+
+    from . import clustering as CL
+
+    base_store = f"{state_dir}/clusters_base"
+    remap_store = f"{state_dir}/cluster_remap"
+
+    def _cluster_manifest(epoch_id: int) -> str:
+        return os.path.join(
+            state_dir, "_cluster_epochs", f"epoch_{epoch_id:012d}.json"
+        )
+
+    def _folded() -> list[int]:
+        import glob
+
+        return sorted(
+            int(os.path.basename(p)[6:-5])
+            for p in glob.glob(
+                os.path.join(state_dir, "_cluster_epochs", "epoch_*.json")
+            )
+        )
+
+    done_pairs = processed_epochs(state_dir)
+    folded = _folded()
+    todo = [e for e in done_pairs if e not in folded]
+    if folded and todo and min(todo) < max(folded):
+        raise ValueError(
+            f"pairs epoch {min(todo)} committed after later epochs were "
+            f"already folded (folded up to {max(folded)}) — cluster folds "
+            "must apply in epoch order"
+        )
+    for epoch_id in todo:
+        for store in (base_store, remap_store):
+            shutil.rmtree(
+                os.path.join(store, f"epoch={epoch_id}"), ignore_errors=True
+            )
+        current = read_clusters(spark, state_dir, id_col)
+        pairs_k = (
+            spark.read.parquet(f"{state_dir}/pairs")
+            .where(F.col("epoch") == epoch_id)
+            .select("id_a", "id_b")
+        )
+        delta = CL.merge_remap(current, pairs_k, id_col).localCheckpoint(
+            eager=True
+        )
+        prev_folded = _folded()
+        if prev_folded:
+            prev = (
+                spark.read.parquet(remap_store)
+                .where(F.col("epoch") == prev_folded[-1])
+                .select("old_label", "new_label")
+            )
+            d2 = delta.withColumnRenamed("old_label", "d_old").withColumnRenamed(
+                "new_label", "d_new"
+            )
+            chained = (
+                prev.join(F.broadcast(d2), prev.new_label == d2.d_old, "left")
+                .select(
+                    "old_label",
+                    F.coalesce("d_new", "new_label").alias("new_label"),
+                )
+            )
+            snapshot = chained.unionByName(delta)
+        else:
+            snapshot = delta
+        batch_ids = (
+            spark.read.parquet(f"{state_dir}/signatures")
+            .where(F.col("epoch") == epoch_id)
+            .select(id_col)
+            .distinct()
+        )
+        # first-seen docs only (a re-crawled id keeps its original row); at
+        # scale clusters_base is id-bucketed so this anti-join prunes
+        fresh = (
+            batch_ids.join(current.select(id_col), id_col, "left_anti")
+            .join(
+                F.broadcast(delta), F.col(id_col) == F.col("old_label"), "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce("new_label", F.col(id_col)).alias("label0"),
+            )
+        )
+        _dyn_overwrite(
+            fresh.withColumn("epoch", F.lit(epoch_id)), base_store, ["epoch"]
+        )
+        _dyn_overwrite(
+            snapshot.withColumn("epoch", F.lit(epoch_id)), remap_store, ["epoch"]
+        )
+        manifest = _cluster_manifest(epoch_id)
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": epoch_id}, fh)
+        os.replace(tmp, manifest)
+    return todo
+
+
+def read_clusters(
+    spark: SparkSession, state_dir: str, id_col: str = "url"
+) -> DataFrame:
+    """(id_col, cluster_id) for every doc in folded epochs: the base
+    assignment resolved through the LATEST cumulative remap snapshot — one
+    left join, label = coalesce(snapshot[label0], label0). Labels written
+    at epoch k already include epoch-k merges, and any label retired later
+    appears as an old_label in every subsequent snapshot (composition
+    keeps retired labels in the domain forever), so one application of the
+    latest snapshot fully resolves every doc."""
+    import glob
+    import os
+
+    folded = sorted(
+        int(os.path.basename(p)[6:-5])
+        for p in glob.glob(os.path.join(state_dir, "_cluster_epochs", "epoch_*.json"))
+    )
+    if not folded:
+        # nothing folded yet: empty assignment, id-typed like the corpus
+        # (the signature store when one exists, else the url-string shape)
+        try:
+            ids = (
+                spark.read.parquet(f"{state_dir}/signatures")
+                .select(id_col)
+                .limit(0)
+            )
+            return ids.withColumn("cluster_id", F.col(id_col))
+        except Exception:
+            return spark.createDataFrame([], f"{id_col} string, cluster_id string")
+    base = (
+        spark.read.parquet(f"{state_dir}/clusters_base")
+        .where(F.col("epoch").isin(folded))
+        .select(id_col, "label0")
+    )
+    snapshot = (
+        spark.read.parquet(f"{state_dir}/cluster_remap")
+        .where(F.col("epoch") == folded[-1])
+        .select("old_label", "new_label")
+    )
+    return base.join(snapshot, base.label0 == snapshot.old_label, "left").select(
+        F.col(id_col),
+        F.coalesce("new_label", "label0").alias("cluster_id"),
+    )
+
+
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """Pairs from COMMITTED epochs only. ``pairs/`` is the first of the
     four stores written, so a crash mid-epoch leaves a pairs partition

@@ -54,6 +54,13 @@ def main() -> int:
         help="buckets above this are corpus stop-shingles and are dropped "
         "even with --hot-window > 0",
     )
+    ap.add_argument(
+        "--clusters", action="store_true",
+        help="after draining, fold the new pairs epochs into the "
+        "incrementally maintained cluster assignment (clusters_base/ + "
+        "cluster_remap/ under --state); read it back with "
+        "streaming.read_clusters",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -91,7 +98,14 @@ def main() -> int:
         n_pairs = ST.read_pairs(spark, args.state).count()
     except Exception:
         n_pairs = 0
-    print(json.dumps({"state": args.state, "total_verified_pairs": n_pairs}))
+    out = {"state": args.state, "total_verified_pairs": n_pairs}
+    if args.clusters:
+        folded = ST.update_cluster_store(spark, args.state, args.id_col)
+        out["folded_epochs"] = folded
+        out["n_clustered_docs"] = ST.read_clusters(
+            spark, args.state, args.id_col
+        ).count()
+    print(json.dumps(out))
     spark.stop()
     return 0
 

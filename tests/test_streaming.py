@@ -330,3 +330,57 @@ def test_sessionize_stream_timeout_closes_idle_user(spark, tmp_path):
     got = _collected_sessions(spark, out)
     su = int(base.timestamp() * 1_000_000)
     assert (1, su, su + 300 * 1_000_000, 2) in got
+
+
+# --- incremental cluster maintenance over the streaming state -----------
+
+
+def _thirds(fixture_corpus):
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    return docs, [docs.where(F.crc32(F.col("url")) % 3 == k) for k in range(3)]
+
+
+def test_cluster_store_matches_batch_clusters(spark, fixture_corpus, tmp_path):
+    """Fold each wave's pairs into the cluster store as it commits; the
+    maintained assignment must be bit-identical to a one-shot batch
+    clusters_from_pairs over the full corpus and the accumulated pairs."""
+    from imdedup_plus_spark import clustering as CL
+
+    docs, waves = _thirds(fixture_corpus)
+    state = str(tmp_path / "state")
+    for k, w in enumerate(waves):
+        ST.incremental_dedup_batch(w, state, CFG, "url", epoch_id=k)
+        folded = ST.update_cluster_store(spark, state, "url")
+        assert folded == [k]
+
+    got = {
+        (r.url, r.cluster_id)
+        for r in ST.read_clusters(spark, state, "url").collect()
+    }
+    sig = S.signature_kernel_arrow(docs, CFG, "url")
+    ver = ST.read_pairs(spark, state)
+    want = {
+        (r.url, r.cluster_id)
+        for r in CL.clusters_from_pairs(sig, ver, "url").collect()
+    }
+    assert got == want
+    # every signed doc has exactly one row
+    assert len(got) == sig.count()
+
+
+def test_cluster_store_fold_is_idempotent_and_lazy(spark, fixture_corpus, tmp_path):
+    """Folding with no new pairs epochs is a no-op; folding after TWO new
+    epochs catches up in order; a re-fold changes nothing."""
+    docs, waves = _thirds(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(waves[0], state, CFG, "url", epoch_id=0)
+    assert ST.update_cluster_store(spark, state, "url") == [0]
+    assert ST.update_cluster_store(spark, state, "url") == []  # no-op
+
+    ST.incremental_dedup_batch(waves[1], state, CFG, "url", epoch_id=1)
+    ST.incremental_dedup_batch(waves[2], state, CFG, "url", epoch_id=2)
+    assert ST.update_cluster_store(spark, state, "url") == [1, 2]
+
+    before = sorted(ST.read_clusters(spark, state, "url").collect())
+    assert ST.update_cluster_store(spark, state, "url") == []
+    assert sorted(ST.read_clusters(spark, state, "url").collect()) == before
