@@ -576,6 +576,102 @@ def update_cluster_store(
     return todo
 
 
+def compact_cluster_store(
+    spark: SparkSession, state_dir: str, id_col: str = "url"
+) -> int:
+    """Bound the cumulative remap snapshot: resolve every doc's current
+    label, rewrite ``clusters_base`` as ONE generation holding the
+    resolved assignment, and reset the snapshot to empty. Returns rows
+    compacted (0 if nothing folded yet).
+
+    Why: the snapshot grows with total merge events; after many epochs
+    its rewrite dominates the (otherwise epoch-sized) fold cost. A
+    compaction run amortizes that back to zero — afterwards the next
+    fold's composition starts from an empty snapshot. On Iceberg this
+    whole function is a MERGE + snapshot expiry; here it is staged dirs
+    + atomic renames.
+
+    Crash safety: the staged dirs are fully written (with Spark's
+    ``_SUCCESS``) before any rename. The base store is swapped FIRST —
+    a crash after that leaves resolved labels joined against the stale
+    snapshot, which is still CORRECT (resolved labels are current, and
+    current labels never appear as snapshot old-labels, so the join
+    misses and coalesce keeps them). The only unsafe window is between
+    the two renames inside one swap (live moved away, staged not yet
+    moved in); recovery is re-running this function — it detects and
+    finishes an interrupted swap before doing anything else.
+    """
+    import glob
+    import os
+    import shutil
+
+    base_store = f"{state_dir}/clusters_base"
+    remap_store = f"{state_dir}/cluster_remap"
+
+    def _finish_interrupted_swap(live: str) -> None:
+        staged = live + ".compact"
+        if not os.path.isdir(live) and os.path.exists(
+            os.path.join(staged, "_SUCCESS_STAGED")
+        ):
+            os.rename(staged, live)
+        shutil.rmtree(live + ".old", ignore_errors=True)
+
+    for live in (base_store, remap_store):
+        _finish_interrupted_swap(live)
+
+    folded = sorted(
+        int(os.path.basename(p)[6:-5])
+        for p in glob.glob(
+            os.path.join(state_dir, "_cluster_epochs", "epoch_*.json")
+        )
+    )
+    if not folded:
+        return 0
+    latest = folded[-1]
+
+    resolved = read_clusters(spark, state_dir, id_col).select(
+        id_col, F.col("cluster_id").alias("label0"), F.lit(latest).alias("epoch")
+    )
+    empty_snap = (
+        spark.read.parquet(remap_store).select("old_label", "new_label").limit(0)
+    )
+
+    def _mark(staged: str) -> str:
+        # our own completeness marker (Spark's _SUCCESS lives per write,
+        # but be explicit about what recovery keys on)
+        open(os.path.join(staged, "_SUCCESS_STAGED"), "w").close()
+        return staged
+
+    staged_base = base_store + ".compact"
+    shutil.rmtree(staged_base, ignore_errors=True)
+    resolved.write.mode("overwrite").partitionBy("epoch").parquet(staged_base)
+    _mark(staged_base)
+    n = spark.read.parquet(staged_base).count()
+
+    # an EMPTY partitioned write emits no files (nothing to discover), so
+    # lay the partition dir out by hand: epoch=latest/ holding one
+    # schema-carrying zero-row file — exactly what a non-empty write of
+    # this partition would look like to partition discovery
+    staged_remap = remap_store + ".compact"
+    shutil.rmtree(staged_remap, ignore_errors=True)
+    empty_snap.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(staged_remap, f"epoch={latest}")
+    )
+    _mark(staged_remap)
+
+    def _swap(live: str, staged: str) -> None:
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    _swap(base_store, staged_base)   # base first: stale snapshot is harmless
+    _swap(remap_store, staged_remap)
+    return n
+
+
 def read_clusters(
     spark: SparkSession, state_dir: str, id_col: str = "url"
 ) -> DataFrame:

@@ -61,6 +61,11 @@ def main() -> int:
         "cluster_remap/ under --state); read it back with "
         "streaming.read_clusters",
     )
+    ap.add_argument(
+        "--compact-clusters", action="store_true",
+        help="after folding, compact the cluster store (resolved base + "
+        "empty remap snapshot) — run periodically to bound snapshot growth",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -105,6 +110,10 @@ def main() -> int:
         out["n_clustered_docs"] = ST.read_clusters(
             spark, args.state, args.id_col
         ).count()
+        if args.compact_clusters:
+            out["n_compacted"] = ST.compact_cluster_store(
+                spark, args.state, args.id_col
+            )
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -384,3 +384,41 @@ def test_cluster_store_fold_is_idempotent_and_lazy(spark, fixture_corpus, tmp_pa
     before = sorted(ST.read_clusters(spark, state, "url").collect())
     assert ST.update_cluster_store(spark, state, "url") == []
     assert sorted(ST.read_clusters(spark, state, "url").collect()) == before
+
+
+def test_cluster_store_compaction(spark, fixture_corpus, tmp_path):
+    """Compaction rewrites the store as resolved base + empty snapshot:
+    read_clusters is unchanged, the snapshot is bounded to zero rows, and
+    folds after compaction still match the batch recompute."""
+    from imdedup_plus_spark import clustering as CL
+
+    docs, waves = _thirds(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(waves[0], state, CFG, "url", epoch_id=0)
+    ST.incremental_dedup_batch(waves[1], state, CFG, "url", epoch_id=1)
+    ST.update_cluster_store(spark, state, "url")
+    before = sorted(ST.read_clusters(spark, state, "url").collect())
+
+    n = ST.compact_cluster_store(spark, state, "url")
+    assert n == len(before)
+    assert sorted(ST.read_clusters(spark, state, "url").collect()) == before
+    snap = spark.read.parquet(f"{state}/cluster_remap")
+    assert snap.count() == 0
+    # compaction is idempotent
+    assert ST.compact_cluster_store(spark, state, "url") == n
+
+    # folds keep working on the compacted store, still batch-identical
+    ST.incremental_dedup_batch(waves[2], state, CFG, "url", epoch_id=2)
+    assert ST.update_cluster_store(spark, state, "url") == [2]
+    got = {
+        (r.url, r.cluster_id)
+        for r in ST.read_clusters(spark, state, "url").collect()
+    }
+    sig = S.signature_kernel_arrow(docs, CFG, "url")
+    want = {
+        (r.url, r.cluster_id)
+        for r in CL.clusters_from_pairs(
+            sig, ST.read_pairs(spark, state), "url"
+        ).collect()
+    }
+    assert got == want
