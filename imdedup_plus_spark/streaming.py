@@ -514,41 +514,67 @@ def update_cluster_store(
             shutil.rmtree(
                 os.path.join(store, f"epoch={epoch_id}"), ignore_errors=True
             )
-        current = read_clusters(spark, state_dir, id_col)
         pairs_k = (
             spark.read.parquet(f"{state_dir}/pairs")
             .where(F.col("epoch") == epoch_id)
             .select("id_a", "id_b")
         )
-        delta = CL.merge_remap(current, pairs_k, id_col).localCheckpoint(
-            eager=True
-        )
-        prev_folded = _folded()
-        if prev_folded:
-            prev = (
-                spark.read.parquet(remap_store)
-                .where(F.col("epoch") == prev_folded[-1])
-                .select("old_label", "new_label")
-            )
-            d2 = delta.withColumnRenamed("old_label", "d_old").withColumnRenamed(
-                "new_label", "d_new"
-            )
-            chained = (
-                prev.join(F.broadcast(d2), prev.new_label == d2.d_old, "left")
-                .select(
-                    "old_label",
-                    F.coalesce("d_new", "new_label").alias("new_label"),
-                )
-            )
-            snapshot = chained.unionByName(delta)
-        else:
-            snapshot = delta
         batch_ids = (
             spark.read.parquet(f"{state_dir}/signatures")
             .where(F.col("epoch") == epoch_id)
             .select(id_col)
             .distinct()
         )
+        if not _folded():
+            # BOOTSTRAP epoch: the existing assignment is empty, so the
+            # quotient graph IS the pair graph and update_clusters'
+            # broadcast relabel would ship a bootstrap-sized remap (=
+            # every merge event of the initial corpus) — the one join
+            # shape the incremental design must avoid. Run the batch CC
+            # directly; base = its result, snapshot = empty (laid out as
+            # a hand-built epoch partition holding one schema-carrying
+            # zero-row file, as in compact_cluster_store).
+            boot = CL.clusters_from_pairs(batch_ids, pairs_k, id_col).select(
+                id_col, F.col("cluster_id").alias("label0")
+            )
+            _dyn_overwrite(
+                boot.withColumn("epoch", F.lit(epoch_id)), base_store, ["epoch"]
+            )
+            empty_snap = batch_ids.select(
+                F.col(id_col).alias("old_label"),
+                F.col(id_col).alias("new_label"),
+            ).limit(0)
+            empty_snap.repartition(1).write.mode("overwrite").parquet(
+                os.path.join(remap_store, f"epoch={epoch_id}")
+            )
+            manifest = _cluster_manifest(epoch_id)
+            os.makedirs(os.path.dirname(manifest), exist_ok=True)
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"epoch": epoch_id, "bootstrap": True}, fh)
+            os.replace(tmp, manifest)
+            continue
+        current = read_clusters(spark, state_dir, id_col)
+        delta = CL.merge_remap(current, pairs_k, id_col).localCheckpoint(
+            eager=True
+        )
+        prev_folded = _folded()  # non-empty: epoch 0 took the bootstrap path
+        prev = (
+            spark.read.parquet(remap_store)
+            .where(F.col("epoch") == prev_folded[-1])
+            .select("old_label", "new_label")
+        )
+        d2 = delta.withColumnRenamed("old_label", "d_old").withColumnRenamed(
+            "new_label", "d_new"
+        )
+        chained = (
+            prev.join(F.broadcast(d2), prev.new_label == d2.d_old, "left")
+            .select(
+                "old_label",
+                F.coalesce("d_new", "new_label").alias("new_label"),
+            )
+        )
+        snapshot = chained.unionByName(delta)
         # first-seen docs only (a re-crawled id keeps its original row); at
         # scale clusters_base is id-bucketed so this anti-join prunes
         fresh = (
