@@ -332,6 +332,16 @@ def merge_remap(
     )
 
 
+#: relabel-broadcast guard: an epoch's remap (one row per merged cluster)
+#: is broadcast to every executor. Epoch-sized remaps are small by design;
+#: a degenerate epoch (bootstrap-like, epoch ~ corpus) could exceed driver
+#: or executor memory, so above this row count the relabel falls back to a
+#: shuffle join (still correct, pays one corpus shuffle — the caller
+#: should have bootstrapped via clusters_from_pairs instead, as
+#: streaming.update_cluster_store does automatically for epoch 0).
+BROADCAST_REMAP_MAX_ROWS = 20_000_000
+
+
 def update_clusters(
     existing: DataFrame,
     new_docs: DataFrame,
@@ -364,10 +374,12 @@ def update_clusters(
     by keeping the remap as data.
     """
     remap = merge_remap(existing, new_pairs, id_col, max_iter, algorithm)
+    # the CC result behind remap is already localCheckpoint-ed, so this
+    # count does not recompute the quotient CC
+    if remap.count() <= BROADCAST_REMAP_MAX_ROWS:
+        remap = F.broadcast(remap)
     updated = (
-        existing.join(
-            F.broadcast(remap), existing.cluster_id == remap.old_label, "left"
-        )
+        existing.join(remap, existing.cluster_id == remap.old_label, "left")
         .select(
             F.col(id_col),
             F.coalesce("new_label", "cluster_id").alias("cluster_id"),
@@ -377,7 +389,7 @@ def update_clusters(
         new_docs.select(id_col)
         .distinct()
         .join(existing.select(id_col), id_col, "left_anti")
-        .join(F.broadcast(remap), F.col(id_col) == remap.old_label, "left")
+        .join(remap, F.col(id_col) == remap.old_label, "left")
         .select(
             F.col(id_col),
             F.coalesce("new_label", F.col(id_col)).alias("cluster_id"),

@@ -422,3 +422,30 @@ def test_cluster_store_compaction(spark, fixture_corpus, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_swap_recovery(spark, fixture_corpus, tmp_path):
+    """Crash between the two renames of a swap (live moved away, staged
+    not yet moved in): re-running compact_cluster_store finishes the swap
+    before doing anything else, and the store reads back identically."""
+    import os
+    import shutil
+
+    docs, waves = _thirds(fixture_corpus)
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(waves[0], state, CFG, "url", epoch_id=0)
+    ST.incremental_dedup_batch(waves[1], state, CFG, "url", epoch_id=1)
+    ST.update_cluster_store(spark, state, "url")
+    ST.compact_cluster_store(spark, state, "url")
+    before = sorted(ST.read_clusters(spark, state, "url").collect())
+
+    # simulate the crash window: staged dir complete (marker present),
+    # live dir already moved away
+    base = f"{state}/clusters_base"
+    shutil.copytree(base, base + ".compact")
+    open(os.path.join(base + ".compact", "_SUCCESS_STAGED"), "w").close()
+    shutil.rmtree(base)
+
+    n = ST.compact_cluster_store(spark, state, "url")
+    assert n == len(before)
+    assert sorted(ST.read_clusters(spark, state, "url").collect()) == before
