@@ -361,6 +361,11 @@ def update_clusters(
     or not — unpaired arrivals become singletons). ``new_pairs``:
     (id_a, id_b) verified this epoch; endpoints may be old docs, new
     docs, or both (late pairs between two old docs are handled).
+    Contract: every pair endpoint must be in ``existing`` or
+    ``new_docs`` — an uncovered endpoint still merges the clusters it
+    bridges but gets no output row of its own (the streaming caller
+    satisfies this by construction: endpoints come from the signature
+    store or the batch).
 
     Scale shape (the 10^12-doc argument): the iterative work runs on the
     quotient graph (``merge_remap``); the corpus-sized ``existing`` table
