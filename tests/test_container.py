@@ -1,0 +1,148 @@
+"""`.sidp` span-container DataSource: exact-row roundtrip, append/
+overwrite manifest semantics, orphan-shard invisibility, corruption
+detection (reference record layout: idedup.c:455-516)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from imdedup_plus_spark import container as CT
+from imdedup_plus_spark.container import SpanContainerDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SpanContainerDataSource)
+    return spark
+
+
+def _spans_df(spark):
+    """Real pipeline spans on the fixture corpus (long surrogate ids)."""
+    from pyspark.sql import functions as F
+
+    from imdedup_plus_spark import candidates as C
+    from imdedup_plus_spark import fixtures as FX
+    from imdedup_plus_spark import signatures as S
+    from imdedup_plus_spark import spans as SP
+    from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+
+    docs = (
+        FX.generate_documents(spark, n_base=32)
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    sig = S.signature_kernel_arrow(docs, CFG, "doc_id")
+    pairs = C.candidate_pairs(S.explode_bands(sig, CFG, "doc_id"), CFG, "doc_id")
+    best = C.best_base(C.verify_pairs_kernel(pairs, sig, CFG, "doc_id"))
+    return SP.extract_spans(SP.pair_texts_from_best_base(best, docs, "doc_id"), CFG)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_roundtrip_exact_rows(registered, tmp_path):
+    spark = registered
+    spans = _spans_df(spark).cache()
+    n = spans.count()
+    assert n > 0
+    out = str(tmp_path / "store")
+    spans.write.format("sidp").mode("overwrite").save(out)
+    back = spark.read.format("sidp").load(out)
+    assert back.schema.simpleString() == spans.schema.simpleString()
+    assert _sorted_rows(back) == _sorted_rows(spans)
+    man = json.load(open(os.path.join(out, CT.MANIFEST)))
+    assert man["n_records"] > 0 and man["shards"]
+    spans.unpersist()
+
+
+def test_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    rows = [
+        (1, 2, 0, "COPY", 0, 0, 5, None),
+        (1, 2, 1, "INSERT", 0, 5, 3, "abc"),
+        (3, 4, 0, "INSERT", 0, 0, 7, "payload"),
+    ]
+    df = spark.createDataFrame(rows, CT.SIDP_SCHEMA)
+    out = str(tmp_path / "store")
+    df.write.format("sidp").mode("overwrite").save(out)
+    df.write.format("sidp").mode("append").save(out)
+    back = spark.read.format("sidp").load(out)
+    assert _sorted_rows(back) == sorted([tuple(r) for r in rows] * 2)
+    # overwrite replaces the manifest: back to one copy
+    df.write.format("sidp").mode("overwrite").save(out)
+    assert _sorted_rows(spark.read.format("sidp").load(out)) == sorted(
+        tuple(r) for r in rows
+    )
+
+
+def test_orphan_shard_invisible(registered, tmp_path):
+    """A shard file not listed in the manifest (dead attempt) is never
+    read — the write-after-data manifest discipline."""
+    spark = registered
+    df = spark.createDataFrame(
+        [(1, 2, 0, "COPY", 0, 0, 5, None)], CT.SIDP_SCHEMA
+    )
+    out = str(tmp_path / "store")
+    df.write.format("sidp").mode("overwrite").save(out)
+    orphan = CT.MAGIC + bytes([CT.VERSION]) + CT._pack_record(
+        9, 9, [(0, "INSERT", 0, 0, 1, "x")]
+    )
+    with open(os.path.join(out, "part-orphan.sidp"), "wb") as fh:
+        fh.write(orphan)
+    assert spark.read.format("sidp").load(out).count() == 1
+
+
+def test_empty_write_and_read(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "empty")
+    spark.createDataFrame([], CT.SIDP_SCHEMA).write.format("sidp").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("sidp").load(out)
+    assert back.count() == 0
+    assert back.schema.simpleString() != ""
+
+
+def test_corrupt_shard_fails_loudly(registered, tmp_path):
+    spark = registered
+    df = spark.createDataFrame(
+        [(1, 2, 0, "COPY", 0, 0, 5, None)], CT.SIDP_SCHEMA
+    )
+    out = str(tmp_path / "store")
+    df.write.format("sidp").mode("overwrite").save(out)
+    shard = json.load(open(os.path.join(out, CT.MANIFEST)))["shards"][0]
+    p = os.path.join(out, shard)
+    data = open(p, "rb").read()
+    with open(p, "wb") as fh:
+        fh.write(data[: len(data) - 4])  # truncate mid-record
+    with pytest.raises(Exception, match="truncated|SIDP|length"):
+        spark.read.format("sidp").load(out).count()
+
+
+def test_restore_from_container(registered, tmp_path):
+    """Container -> spans -> reconstruct: the restore path reads the
+    custom format and replays COPY/INSERT byte-exactly."""
+    from pyspark.sql import functions as F
+
+    from imdedup_plus_spark import fixtures as FX
+    from imdedup_plus_spark import spans as SP
+
+    spark = registered
+    spans = _spans_df(spark).cache()
+    out = str(tmp_path / "store")
+    spans.write.format("sidp").mode("overwrite").save(out)
+    docs = (
+        FX.generate_documents(spark, n_base=32)
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    stored = spark.read.format("sidp").load(out)
+    rec = SP.reconstruct_targets(stored, docs, "doc_id")
+    chk = rec.join(
+        docs.selectExpr("doc_id AS id_b", "text AS orig"), "id_b"
+    ).selectExpr("reconstructed_text = orig AS ok")
+    vals = [r["ok"] for r in chk.collect()]
+    assert vals and all(vals)
+    spans.unpersist()
