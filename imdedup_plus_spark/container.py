@@ -33,7 +33,13 @@ the reference's artifact shape:
 Scale shape: one ``InputPartition`` per shard → scan parallelism equals
 shard count (tasks are independent, no footer/index needed); records
 decode streaming per shard, never whole-shard buffering beyond one
-record. Writes are executor-local and embarrassingly parallel; the only
+record. The manifest carries per-shard ``[min, max]`` id stats (the
+Parquet row-group min/max analog) and the reader implements
+``pushFilters``: simple id predicates prune whole shards before any
+task launches, while every filter is also returned to Spark for
+row-level re-application — pruning can only skip work, never change
+results. Write sorted/range-partitioned by id (``repartitionByRange``)
+and point lookups touch one shard. Writes are executor-local and embarrassingly parallel; the only
 driver work is the O(#shards) manifest. Exact-row roundtrip
 (``read(write(df)) == df`` as a multiset) is pytest-gated, including
 append/overwrite semantics and orphan-shard invisibility.
@@ -58,7 +64,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -148,20 +160,75 @@ class _ShardPartition(InputPartition):
         self.shard = shard
 
 
+#: id columns whose per-shard [min, max] the manifest records — the
+#: pruning stats (the Parquet row-group min/max analog for this format)
+_STAT_COLS = ("id_a", "id_b")
+
+
+def _shard_survives(stats: dict, filters: list) -> bool:
+    """Conjunctive shard-level interval check: a shard is skippable iff
+    ANY pushed filter is unsatisfiable over the shard's [min, max] for
+    that id column. Conservative by construction — unknown stats keep
+    the shard, and Spark re-applies every filter row-level."""
+    for f in filters:
+        col = f.attribute[0]
+        b = stats.get(col)
+        if not b:
+            continue
+        lo, hi = b
+        if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+            return False
+        if isinstance(f, GreaterThan) and not (hi > f.value):
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not (hi >= f.value):
+            return False
+        if isinstance(f, LessThan) and not (lo < f.value):
+            return False
+        if isinstance(f, LessThanOrEqual) and not (lo <= f.value):
+            return False
+        if isinstance(f, In) and not any(lo <= v <= hi for v in f.value):
+            return False
+    return True
+
+
 class _SidpReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sidp reader requires a path")
+        self._filters: list = []
+
+    def pushFilters(self, filters):
+        """Shard pruning via manifest min/max stats. Every filter is
+        returned as unhandled — Spark re-applies them row-level, so
+        pruning can only skip work, never change results; only simple
+        numeric comparisons on the id columns participate."""
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                     LessThanOrEqual, In),
+                )
+                and len(f.attribute) == 1
+                and f.attribute[0] in _STAT_COLS
+                and _filter_values_numeric(f)
+            ):
+                self._filters.append(f)
+        return filters
 
     def partitions(self):
         shards = _read_manifest(self.path)["shards"]
-        # one task per shard; an empty table reads as zero partitions only
-        # if Spark allows — return a sentinel empty shard list handled in
-        # read() via a single no-op partition
+        if self._filters:
+            shards = [
+                s for s in shards
+                if _shard_survives(s.get("stats", {}), self._filters)
+            ]
+        # one task per surviving shard; zero shards -> a single sentinel
+        # no-op partition (Spark requires at least one)
         if not shards:
             return [_ShardPartition("")]
-        return [_ShardPartition(s) for s in shards]
+        return [_ShardPartition(s["name"]) for s in shards]
 
     def read(self, partition):
         if not partition.shard:
@@ -173,10 +240,16 @@ class _SidpReader(DataSourceReader):
                 yield (id_a, id_b, instr_id, kind, a_off, b_off, length, payload)
 
 
+def _filter_values_numeric(f) -> bool:
+    vals = f.value if isinstance(f, In) else (f.value,)
+    return all(isinstance(v, int) and not isinstance(v, bool) for v in vals)
+
+
 class _SidpCommitMessage(WriterCommitMessage):
-    def __init__(self, shard: str, n_records: int):
+    def __init__(self, shard: str, n_records: int, stats: dict | None = None):
         self.shard = shard
         self.n_records = n_records
+        self.stats = stats or {}
 
 
 class _SidpWriter(DataSourceWriter):
@@ -199,6 +272,7 @@ class _SidpWriter(DataSourceWriter):
         buf: list[bytes] = [MAGIC + bytes([VERSION])]
         cur_key = None
         cur: list[tuple] = []
+        bounds = {c: [None, None] for c in _STAT_COLS}
 
         def flush():
             nonlocal n_records
@@ -209,6 +283,10 @@ class _SidpWriter(DataSourceWriter):
 
         for row in iterator:
             key = (row.id_a, row.id_b)
+            for c, v in zip(_STAT_COLS, key):
+                b = bounds[c]
+                b[0] = v if b[0] is None else min(b[0], v)
+                b[1] = v if b[1] is None else max(b[1], v)
             if key != cur_key:
                 flush()
                 cur_key = key
@@ -223,7 +301,7 @@ class _SidpWriter(DataSourceWriter):
         with open(tmp, "wb") as fh:
             fh.write(b"".join(buf))
         os.replace(tmp, os.path.join(self.path, shard))
-        return _SidpCommitMessage(shard, n_records)
+        return _SidpCommitMessage(shard, n_records, bounds)
 
     def commit(self, messages):
         """Driver-side manifest swap AFTER all shards exist (the
@@ -231,15 +309,19 @@ class _SidpWriter(DataSourceWriter):
         epoch manifests): append merges with the previous manifest,
         overwrite replaces it — orphan shards from dead attempts are
         never listed, hence never read."""
-        new = [(m.shard, m.n_records) for m in messages if m and m.shard]
+        new = [
+            {"name": m.shard, "n_records": m.n_records, "stats": m.stats}
+            for m in messages
+            if m and m.shard
+        ]
         prev = (
             {"shards": [], "n_records": 0}
             if self.overwrite
             else _read_manifest(self.path)
         )
         manifest = {
-            "shards": prev["shards"] + [s for s, _ in new],
-            "n_records": prev["n_records"] + sum(n for _, n in new),
+            "shards": prev["shards"] + new,
+            "n_records": prev["n_records"] + sum(s["n_records"] for s in new),
             "version": VERSION,
         }
         os.makedirs(self.path, exist_ok=True)

@@ -51,6 +51,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python data sources (container.py) prune shards via pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         # local mode: the driver JVM IS the executor — size the heap for
         # 32 array-heavy join threads (measured: 8g heap caps verify-stage

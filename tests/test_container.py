@@ -16,6 +16,7 @@ from imdedup_plus_spark.container import SpanContainerDataSource
 @pytest.fixture(scope="module")
 def registered(spark):
     spark.dataSource.register(SpanContainerDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark
 
 
@@ -113,13 +114,54 @@ def test_corrupt_shard_fails_loudly(registered, tmp_path):
     )
     out = str(tmp_path / "store")
     df.write.format("sidp").mode("overwrite").save(out)
-    shard = json.load(open(os.path.join(out, CT.MANIFEST)))["shards"][0]
+    shard = json.load(open(os.path.join(out, CT.MANIFEST)))["shards"][0]["name"]
     p = os.path.join(out, shard)
     data = open(p, "rb").read()
     with open(p, "wb") as fh:
         fh.write(data[: len(data) - 4])  # truncate mid-record
     with pytest.raises(Exception, match="truncated|SIDP|length"):
         spark.read.format("sidp").load(out).count()
+
+
+def test_shard_pruning_with_stats(registered, tmp_path):
+    """Manifest min/max stats prune shards at planning time; results are
+    unchanged (Spark re-applies every filter row-level)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    spark = registered
+    rows = [(i, i + 1000, 0, "COPY", 0, 0, 5, None) for i in range(100)]
+    df = spark.createDataFrame(rows, CT.SIDP_SCHEMA)
+    out = str(tmp_path / "store")
+    # range-partition by id_a -> disjoint per-shard id intervals
+    df.repartitionByRange(5, "id_a").write.format("sidp").mode(
+        "overwrite"
+    ).save(out)
+    man = json.load(open(os.path.join(out, CT.MANIFEST)))
+    assert len(man["shards"]) == 5
+    assert all(s["stats"]["id_a"] for s in man["shards"])
+
+    # reader-level: an equality predicate survives exactly one shard
+    r = CT._SidpReader({"path": out})
+    r.pushFilters([EqualTo(("id_a",), 42)])
+    parts = r.partitions()
+    assert len(parts) == 1
+    got = list(r.read(parts[0]))
+    assert (42, 1042, 0, "COPY", 0, 0, 5, None) in got
+    # range predicate prunes proportionally
+    r2 = CT._SidpReader({"path": out})
+    r2.pushFilters([GreaterThan(("id_a",), 79)])
+    assert len(r2.partitions()) == 1
+    # unsatisfiable predicate -> sentinel empty partition
+    r3 = CT._SidpReader({"path": out})
+    r3.pushFilters([EqualTo(("id_a",), 10_000)])
+    parts3 = r3.partitions()
+    assert len(parts3) == 1 and parts3[0].shard == ""
+
+    # end-to-end through Spark: values exact under pushdown
+    assert spark.read.format("sidp").load(out).where("id_a = 42").collect()[0][
+        "id_b"
+    ] == 1042
+    assert spark.read.format("sidp").load(out).where("id_a > 79").count() == 20
 
 
 def test_restore_from_container(registered, tmp_path):
