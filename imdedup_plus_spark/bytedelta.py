@@ -108,9 +108,16 @@ def payload_hex_sql(text_expr: str = "text") -> str:
     return f"lower(hex(encode({wrapped_html_sql(text_expr)})))"
 
 
-def pair_payloads(pairs: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
-    """Attach payload hex to (id_a, id_b) pairs -> extract input."""
-    p = docs.select(F.col(id_col), payload_hex_col("text").alias("ph"))
+def pair_payloads(
+    pairs: DataFrame, docs: DataFrame, id_col: str, hex_col: "F.Column | None" = None
+) -> DataFrame:
+    """Attach payload hex to (id_a, id_b) pairs -> extract input.
+
+    ``hex_col`` overrides the payload source (default: the synthetic
+    html wrap of ``text``); pass ``F.lower(F.hex(F.col("content")))``
+    to delta arbitrary raw bytes (dirdedup.py does)."""
+    ph = hex_col if hex_col is not None else payload_hex_col("text")
+    p = docs.select(F.col(id_col), ph.alias("ph"))
     return (
         pairs.select("id_a", "id_b")
         .join(
@@ -188,7 +195,9 @@ def byte_span_summary(spans: DataFrame) -> DataFrame:
     )
 
 
-def reconstruct_payloads(spans: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+def reconstruct_payloads(
+    spans: DataFrame, docs: DataFrame, id_col: str, hex_col: "F.Column | None" = None
+) -> DataFrame:
     """Replay instructions -> (id_b, reconstructed payload hex). The base
     chunk list is recomputed from the base payload (deterministic), and a
     COPY of chunks [a_off, a_off+length) concatenates those chunks.
@@ -200,7 +209,8 @@ def reconstruct_payloads(spans: DataFrame, docs: DataFrame, id_col: str) -> Data
             F.collect_list(F.struct("instr_id", "kind", "a_off", "length", "payload"))
         ).alias("instrs")
     )
-    base = docs.select(F.col(id_col).alias("id_a"), payload_hex_col("text").alias("hex_a"))
+    ph = hex_col if hex_col is not None else payload_hex_col("text")
+    base = docs.select(F.col(id_col).alias("id_a"), ph.alias("hex_a"))
     joined = instrs.join(base, "id_a")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -339,6 +339,47 @@ class _SidpWriter(DataSourceWriter):
                     pass
 
 
+def compact(spark, path: str, n_shards: int) -> None:
+    """Rewrite a store's accumulated small shards into ``n_shards``
+    range-partitioned ones (append-heavy stores accrue one shard per
+    writing task — the small-file problem every table format compacts
+    away; cf. streaming.compact_cluster_store).
+
+    Crash-safe by the same manifest ordering as writes: the new shards
+    are written first (a crash strands orphans, which readers never
+    see), the manifest swap is the commit point (``os.replace``), and
+    only then are the old shards unlinked — a reader that raced the
+    swap still finds the old files it listed. Range partitioning by
+    ``id_a`` makes the compacted shards' min/max stats disjoint, so the
+    pruning path gets sharper as a side effect."""
+    man = _read_manifest(path)
+    old = [s["name"] for s in man["shards"]]
+    df = spark.read.format("sidp").load(path)
+    (
+        df.repartitionByRange(n_shards, "id_a", "id_b", "instr_id")
+        .write.format("sidp")
+        .mode("append")
+        .save(path)
+    )
+    new = [
+        s for s in _read_manifest(path)["shards"] if s["name"] not in old
+    ]
+    manifest = {
+        "shards": new,
+        "n_records": sum(s["n_records"] for s in new),
+        "version": VERSION,
+    }
+    tmp = os.path.join(path, f".{MANIFEST}.tmp.compact.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    for name in old:
+        try:
+            os.remove(os.path.join(path, name))
+        except OSError:
+            pass
+
+
 class SpanContainerDataSource(DataSource):
     """``spark.read.format("sidp")`` / ``df.write.format("sidp")``."""
 

@@ -164,6 +164,32 @@ def test_shard_pruning_with_stats(registered, tmp_path):
     assert spark.read.format("sidp").load(out).where("id_a > 79").count() == 20
 
 
+def test_compaction(registered, tmp_path):
+    """Many appended shards -> n compacted ones; rows identical, old
+    shards gone, manifest swapped atomically."""
+    spark = registered
+    out = str(tmp_path / "store")
+    for k in range(6):
+        spark.createDataFrame(
+            [(k * 10 + i, 1, 0, "COPY", 0, 0, 5, None) for i in range(10)],
+            CT.SIDP_SCHEMA,
+        ).coalesce(1).write.format("sidp").mode(
+            "overwrite" if k == 0 else "append"
+        ).save(out)
+    before = _sorted_rows(spark.read.format("sidp").load(out))
+    assert len(json.load(open(os.path.join(out, CT.MANIFEST)))["shards"]) == 6
+    CT.compact(spark, out, 2)
+    man = json.load(open(os.path.join(out, CT.MANIFEST)))
+    assert len(man["shards"]) == 2
+    assert _sorted_rows(spark.read.format("sidp").load(out)) == before
+    # old shard files unlinked; only manifest-listed shards remain
+    files = {f for f in os.listdir(out) if f.endswith(".sidp")}
+    assert files == {s["name"] for s in man["shards"]}
+    # range partitioning -> disjoint id_a stats across compacted shards
+    spans = sorted(tuple(s["stats"]["id_a"]) for s in man["shards"])
+    assert spans[0][1] < spans[1][0]
+
+
 def test_restore_from_container(registered, tmp_path):
     """Container -> spans -> reconstruct: the restore path reads the
     custom format and replays COPY/INSERT byte-exactly."""
