@@ -111,40 +111,57 @@ def _pack_record(id_a: int, id_b: int, instrs: list[tuple]) -> bytes:
     return _RECHDR.pack(id_a, id_b, len(instrs), len(comp), len(raw)) + comp
 
 
-def _iter_records(data: bytes, path: str):
+def _parse_record_body(raw: bytes, n_instr: int):
+    instrs = []
+    blob_off = _INSTR.size * n_instr
+    for i in range(n_instr):
+        instr_id, code, a_off, b_off, length, p_len = _INSTR.unpack_from(
+            raw, i * _INSTR.size
+        )
+        payload = (
+            raw[blob_off : blob_off + p_len].decode("utf-8")
+            if code == _KIND_CODE["INSERT"]
+            else None
+        )
+        blob_off += p_len
+        instrs.append((instr_id, _CODE_KIND[code], a_off, b_off, length, payload))
+    return instrs
+
+
+def _iter_records_stream(fh, path: str):
     """Yield (id_a, id_b, [(instr_id, kind, a_off, b_off, length,
-    payload)]) walking a shard's records; loud on corruption."""
-    if data[:4] != MAGIC:
+    payload)]) streaming record-at-a-time from an open shard — memory is
+    bounded by the largest single record, never the shard; loud on
+    corruption or truncation."""
+    head = fh.read(5)
+    if head[:4] != MAGIC:
         raise ValueError(f"not a SIDP shard (bad magic): {path}")
-    if data[4] != VERSION:
-        raise ValueError(f"unsupported SIDP version {data[4]}: {path}")
+    if head[4] != VERSION:
+        raise ValueError(f"unsupported SIDP version {head[4]}: {path}")
     pos = 5
-    n = len(data)
-    while pos < n:
-        if pos + _RECHDR.size > n:
+    while True:
+        hdr = fh.read(_RECHDR.size)
+        if not hdr:
+            return
+        if len(hdr) < _RECHDR.size:
             raise ValueError(f"truncated record header at {pos}: {path}")
-        id_a, id_b, n_instr, comp_len, raw_len = _RECHDR.unpack_from(data, pos)
+        id_a, id_b, n_instr, comp_len, raw_len = _RECHDR.unpack(hdr)
         pos += _RECHDR.size
-        if pos + comp_len > n:
+        comp = fh.read(comp_len)
+        if len(comp) < comp_len:
             raise ValueError(f"truncated record body at {pos}: {path}")
-        raw = zlib.decompress(data[pos : pos + comp_len])
+        raw = zlib.decompress(comp)
         if len(raw) != raw_len:
             raise ValueError(f"record length mismatch at {pos}: {path}")
         pos += comp_len
-        instrs = []
-        blob_off = _INSTR.size * n_instr
-        for i in range(n_instr):
-            instr_id, code, a_off, b_off, length, p_len = _INSTR.unpack_from(
-                raw, i * _INSTR.size
-            )
-            payload = (
-                raw[blob_off : blob_off + p_len].decode("utf-8")
-                if code == _KIND_CODE["INSERT"]
-                else None
-            )
-            blob_off += p_len
-            instrs.append((instr_id, _CODE_KIND[code], a_off, b_off, length, payload))
-        yield id_a, id_b, instrs
+        yield id_a, id_b, _parse_record_body(raw, n_instr)
+
+
+def _iter_records(data: bytes, path: str):
+    """In-memory twin of ``_iter_records_stream`` (tests, small blobs)."""
+    import io
+
+    yield from _iter_records_stream(io.BytesIO(data), path)
 
 
 def _read_manifest(path: str) -> dict:
@@ -234,10 +251,11 @@ class _SidpReader(DataSourceReader):
         if not partition.shard:
             return
         with open(os.path.join(self.path, partition.shard), "rb") as fh:
-            data = fh.read()
-        for id_a, id_b, instrs in _iter_records(data, partition.shard):
-            for instr_id, kind, a_off, b_off, length, payload in instrs:
-                yield (id_a, id_b, instr_id, kind, a_off, b_off, length, payload)
+            for id_a, id_b, instrs in _iter_records_stream(fh, partition.shard):
+                for instr_id, kind, a_off, b_off, length, payload in instrs:
+                    yield (
+                        id_a, id_b, instr_id, kind, a_off, b_off, length, payload
+                    )
 
 
 def _filter_values_numeric(f) -> bool:
@@ -268,38 +286,43 @@ class _SidpWriter(DataSourceWriter):
         reference-shaped one-record-per-pair shards)."""
         os.makedirs(self.path, exist_ok=True)
         shard = f"part-{uuid.uuid4().hex}.sidp"
+        tmp = os.path.join(self.path, f".{shard}.tmp.{os.getpid()}")
         n_records = 0
-        buf: list[bytes] = [MAGIC + bytes([VERSION])]
         cur_key = None
         cur: list[tuple] = []
         bounds = {c: [None, None] for c in _STAT_COLS}
+        fh = None  # opened lazily so an empty task leaves no file behind
 
         def flush():
-            nonlocal n_records
+            nonlocal n_records, fh
             if cur:
-                buf.append(_pack_record(cur_key[0], cur_key[1], cur))
+                if fh is None:
+                    fh = open(tmp, "wb")
+                    fh.write(MAGIC + bytes([VERSION]))
+                fh.write(_pack_record(cur_key[0], cur_key[1], cur))
                 n_records += 1
                 cur.clear()
 
-        for row in iterator:
-            key = (row.id_a, row.id_b)
-            for c, v in zip(_STAT_COLS, key):
-                b = bounds[c]
-                b[0] = v if b[0] is None else min(b[0], v)
-                b[1] = v if b[1] is None else max(b[1], v)
-            if key != cur_key:
-                flush()
-                cur_key = key
-            cur.append(
-                (row.instr_id, row.kind, row.a_off, row.b_off, row.length,
-                 row.payload)
-            )
-        flush()
+        try:
+            for row in iterator:
+                key = (row.id_a, row.id_b)
+                for c, v in zip(_STAT_COLS, key):
+                    b = bounds[c]
+                    b[0] = v if b[0] is None else min(b[0], v)
+                    b[1] = v if b[1] is None else max(b[1], v)
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                cur.append(
+                    (row.instr_id, row.kind, row.a_off, row.b_off, row.length,
+                     row.payload)
+                )
+            flush()
+        finally:
+            if fh is not None:
+                fh.close()
         if n_records == 0:
             return _SidpCommitMessage("", 0)
-        tmp = os.path.join(self.path, f".{shard}.tmp.{os.getpid()}")
-        with open(tmp, "wb") as fh:
-            fh.write(b"".join(buf))
         os.replace(tmp, os.path.join(self.path, shard))
         return _SidpCommitMessage(shard, n_records, bounds)
 

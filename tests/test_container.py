@@ -190,6 +190,39 @@ def test_compaction(registered, tmp_path):
     assert spans[0][1] < spans[1][0]
 
 
+def test_record_codec_property():
+    """Property: pack -> stream-iterate roundtrips any instruction list
+    (no Spark; pure codec)."""
+    from hypothesis import given, settings, strategies as st
+
+    instr = st.tuples(
+        st.integers(0, 2**31 - 1),              # instr_id
+        st.sampled_from(["COPY", "INSERT"]),
+        st.integers(-(2**31), 2**31 - 1),       # a_off
+        st.integers(-(2**31), 2**31 - 1),       # b_off
+        st.integers(-(2**31), 2**31 - 1),       # length
+        st.one_of(st.none(), st.text(max_size=80)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(-(2**63), 2**63 - 1),
+        st.integers(-(2**63), 2**63 - 1),
+        st.lists(instr, min_size=1, max_size=20),
+    )
+    def roundtrip(id_a, id_b, instrs):
+        # payload survives only for INSERTs (COPY payloads are not stored)
+        norm = [
+            (i, k, a, b, l, (p or "") if k == "INSERT" else None)
+            for i, k, a, b, l, p in instrs
+        ]
+        blob = CT.MAGIC + bytes([CT.VERSION]) + CT._pack_record(id_a, id_b, norm)
+        out = list(CT._iter_records(blob, "prop"))
+        assert out == [(id_a, id_b, norm)]
+
+    roundtrip()
+
+
 def test_restore_from_container(registered, tmp_path):
     """Container -> spans -> reconstruct: the restore path reads the
     custom format and replays COPY/INSERT byte-exactly."""
