@@ -27,8 +27,10 @@ the reference's artifact shape:
   all tasks report their shards (write-after-data ordering, same
   discipline as ``pipeline.py``'s ``_LINEAGE.json`` and streaming's epoch
   manifests): readers list shards from the manifest only, so a killed
-  write — even one that left orphan shard files — is invisible, and
-  ``mode("append")`` is atomic at manifest granularity.
+  write — even one that left orphan shard files — is invisible.
+  ``mode("append")`` is atomic at manifest granularity for writers on
+  one host (the commit's read-modify-write holds an flock); concurrent
+  writers across hosts need a catalog commit — the Iceberg mapping.
 
 Scale shape: one ``InputPartition`` per shard → scan parallelism equals
 shard count (tasks are independent, no footer/index needed); records
@@ -96,13 +98,21 @@ _INSTR = struct.Struct("<IBiiiI")
 _RECHDR = struct.Struct("<qqIII")
 
 
+#: kind byte: low bits = COPY/INSERT code, high bit = payload IS NULL —
+#: null and empty-string payloads are distinct on disk, so roundtrip is
+#: exact for EVERY row the schema admits, not just the shapes the span
+#: kernels happen to emit
+_NULL_PAYLOAD_BIT = 0x80
+
+
 def _pack_record(id_a: int, id_b: int, instrs: list[tuple]) -> bytes:
     """instrs: (instr_id, kind, a_off, b_off, length, payload_str|None)."""
     parts, blob = [], []
     for instr_id, kind, a_off, b_off, length, payload in instrs:
         p = payload.encode("utf-8") if payload is not None else b""
+        code = _KIND_CODE[kind] | (_NULL_PAYLOAD_BIT if payload is None else 0)
         parts.append(
-            _INSTR.pack(instr_id, _KIND_CODE[kind], a_off or 0, b_off or 0,
+            _INSTR.pack(instr_id, code, a_off or 0, b_off or 0,
                         length or 0, len(p))
         )
         blob.append(p)
@@ -119,12 +129,15 @@ def _parse_record_body(raw: bytes, n_instr: int):
             raw, i * _INSTR.size
         )
         payload = (
-            raw[blob_off : blob_off + p_len].decode("utf-8")
-            if code == _KIND_CODE["INSERT"]
-            else None
+            None
+            if code & _NULL_PAYLOAD_BIT
+            else raw[blob_off : blob_off + p_len].decode("utf-8")
         )
         blob_off += p_len
-        instrs.append((instr_id, _CODE_KIND[code], a_off, b_off, length, payload))
+        instrs.append(
+            (instr_id, _CODE_KIND[code & ~_NULL_PAYLOAD_BIT], a_off, b_off,
+             length, payload)
+        )
     return instrs
 
 
@@ -330,28 +343,56 @@ class _SidpWriter(DataSourceWriter):
         """Driver-side manifest swap AFTER all shards exist (the
         write-after-data ordering of pipeline._LINEAGE and the streaming
         epoch manifests): append merges with the previous manifest,
-        overwrite replaces it — orphan shards from dead attempts are
-        never listed, hence never read."""
+        overwrite replaces it and unlinks the superseded shards — orphan
+        shards from dead attempts are never listed, hence never read.
+
+        The append read-modify-write holds an flock on a lock file, so
+        concurrent single-host appenders serialize instead of silently
+        dropping each other's shards; cross-host concurrent writers need
+        a real catalog commit (the Iceberg mapping in pipeline.py) — a
+        local manifest cannot provide that and does not claim to."""
         new = [
             {"name": m.shard, "n_records": m.n_records, "stats": m.stats}
             for m in messages
             if m and m.shard
         ]
-        prev = (
-            {"shards": [], "n_records": 0}
-            if self.overwrite
-            else _read_manifest(self.path)
-        )
-        manifest = {
-            "shards": prev["shards"] + new,
-            "n_records": prev["n_records"] + sum(s["n_records"] for s in new),
-            "version": VERSION,
-        }
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".{MANIFEST}.tmp.{os.getpid()}")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        import fcntl
+
+        with open(os.path.join(self.path, ".sidp.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            prev = (
+                {"shards": [], "n_records": 0}
+                if self.overwrite
+                else _read_manifest(self.path)
+            )
+            superseded = (
+                [s["name"] for s in _read_manifest(self.path)["shards"]]
+                if self.overwrite
+                else []
+            )
+            manifest = {
+                "shards": prev["shards"] + new,
+                "n_records": prev["n_records"] + sum(s["n_records"] for s in new),
+                "version": VERSION,
+            }
+            tmp = os.path.join(self.path, f".{MANIFEST}.tmp.{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, os.path.join(self.path, MANIFEST))
+        # after the swap: drop shards the overwrite superseded (disk would
+        # otherwise leak a full table copy per overwrite). Same read-race
+        # caveat as every file-listing format without snapshot isolation
+        # (parquet overwrite included): a reader that planned from the old
+        # manifest and has not opened the files yet will miss them —
+        # snapshot isolation is the catalog's job (Iceberg mapping).
+        keep = {s["name"] for s in manifest["shards"]}
+        for name in superseded:
+            if name not in keep:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         for m in messages:
@@ -368,25 +409,44 @@ def compact(spark, path: str, n_shards: int) -> None:
     writing task — the small-file problem every table format compacts
     away; cf. streaming.compact_cluster_store).
 
-    Crash-safe by the same manifest ordering as writes: the new shards
-    are written first (a crash strands orphans, which readers never
-    see), the manifest swap is the commit point (``os.replace``), and
-    only then are the old shards unlinked — a reader that raced the
-    swap still finds the old files it listed. Range partitioning by
+    Crash-safe: the compacted output is written to a SIDE store
+    (``.compact_tmp/``, its own manifest — the main store is untouched),
+    its shards are then moved into the main directory as *unlisted*
+    orphans, and the main-manifest swap (``os.replace``) is the single
+    commit point; only after it are the old shards unlinked. A crash at
+    any step leaves the committed view intact: a stale side store (a
+    retry clears it) and/or unlisted orphan files (never read; swept by
+    the next successful compact). Readers racing the post-commit unlink
+    can lose old files they planned on — the same caveat as any
+    file-listing format without snapshot isolation; a catalog commit
+    (Iceberg mapping) is the cross-job answer. Range partitioning by
     ``id_a`` makes the compacted shards' min/max stats disjoint, so the
     pruning path gets sharper as a side effect."""
+    import shutil
+
     man = _read_manifest(path)
     old = [s["name"] for s in man["shards"]]
+    side = os.path.join(path, ".compact_tmp")
+    shutil.rmtree(side, ignore_errors=True)  # dead previous attempt
     df = spark.read.format("sidp").load(path)
     (
         df.repartitionByRange(n_shards, "id_a", "id_b", "instr_id")
         .write.format("sidp")
-        .mode("append")
-        .save(path)
+        .mode("overwrite")
+        .save(side)
     )
-    new = [
-        s for s in _read_manifest(path)["shards"] if s["name"] not in old
-    ]
+    new = _read_manifest(side)["shards"]
+    # sweep orphans from older crashed attempts, then land the new shards
+    # as orphans themselves (unlisted until the swap below)
+    listed = set(old) | {s["name"] for s in new}
+    for f in os.listdir(path):
+        if f.endswith(".sidp") and f not in listed:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+    for s in new:
+        os.replace(os.path.join(side, s["name"]), os.path.join(path, s["name"]))
     manifest = {
         "shards": new,
         "n_records": sum(s["n_records"] for s in new),
@@ -395,7 +455,8 @@ def compact(spark, path: str, n_shards: int) -> None:
     tmp = os.path.join(path, f".{MANIFEST}.tmp.compact.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    os.replace(tmp, os.path.join(path, MANIFEST))  # commit point
+    shutil.rmtree(side, ignore_errors=True)
     for name in old:
         try:
             os.remove(os.path.join(path, name))

@@ -63,10 +63,10 @@ ROLE_DELTA = "delta_ref"
 
 
 def _register_sidp(spark: SparkSession) -> None:
-    try:
-        spark.dataSource.register(SpanContainerDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # register() replaces an existing registration of the same name, so
+    # this is idempotent — no exception guard (one would only mask real
+    # registration failures)
+    spark.dataSource.register(SpanContainerDataSource)
 
 
 def _rel_col(in_dir: str, path_col: str = "path") -> "F.Column":
@@ -161,6 +161,18 @@ def compress(
 ) -> dict:
     _register_sidp(spark)
     docs = ingest(spark, in_dir).persist()
+    # the surrogate key is xxhash64(path); a collision would map two
+    # files onto one identity and restore the wrong bytes SILENTLY —
+    # fail loudly instead (at ~2^-64/pair this is a guard, not a path;
+    # a real deployment widens the key to (xxhash64, length))
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    if counts["n"] != counts["n_ids"]:
+        raise ValueError(
+            f"doc_id collision: {counts['n']} files, {counts['n_ids']} ids"
+        )
     roles = assign_roles(docs, cfg).persist()
 
     stored_ids = roles.where(F.col("role") == ROLE_STORED).select("doc_id")
@@ -196,13 +208,14 @@ def compress(
         for dp, _dn, fn in os.walk(f"{work_dir}/{sub}")
         for f in fn
     )
+    raw_bytes = int(agg["raw_bytes"] or 0)  # sum() is NULL on 0 files
     metrics = {
         "n_files": agg["n_files"],
-        "raw_bytes": int(agg["raw_bytes"]),
+        "raw_bytes": raw_bytes,
         "stored_bytes": int(stored_bytes),
-        "n_exact_refs": int(agg["n_exact"]),
-        "n_delta_refs": int(agg["n_delta"]),
-        "ratio": round(agg["raw_bytes"] / max(stored_bytes, 1), 3),
+        "n_exact_refs": int(agg["n_exact"] or 0),
+        "n_delta_refs": int(agg["n_delta"] or 0),
+        "ratio": round(raw_bytes / max(stored_bytes, 1), 3),
     }
     tmp = f"{work_dir}/._METRICS.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:

@@ -107,8 +107,10 @@ def run_half(kind: str, n_base: int) -> None:
         _register_bucketed(spark, p["bucketed"])
         sig = spark.table("bench_sig_bucketed")
 
-    # warm the scan once so both halves start from page cache
-    sig.select(F.count(F.lit(1))).collect()
+    # warm the DATA PAGES once so both halves start from page cache — a
+    # bare count() would scan only footers (empty required schema) and
+    # leave the columns cold, so touch the wide column for real
+    sig.agg(F.sum(F.length("shingle_set"))).collect()
     t0 = time.time()
     bands = S.explode_bands(sig, SCALE_CONFIG, "doc_id")
     ver = C.verify_pairs_kernel(

@@ -72,11 +72,15 @@ def test_append_and_overwrite(registered, tmp_path):
     df.write.format("sidp").mode("append").save(out)
     back = spark.read.format("sidp").load(out)
     assert _sorted_rows(back) == sorted([tuple(r) for r in rows] * 2)
-    # overwrite replaces the manifest: back to one copy
+    # overwrite replaces the manifest: back to one copy — and the
+    # superseded shard files are unlinked (no table-copy disk leak)
     df.write.format("sidp").mode("overwrite").save(out)
     assert _sorted_rows(spark.read.format("sidp").load(out)) == sorted(
         tuple(r) for r in rows
     )
+    man = json.load(open(os.path.join(out, CT.MANIFEST)))
+    files = {f for f in os.listdir(out) if f.endswith(".sidp")}
+    assert files == {s["name"] for s in man["shards"]}
 
 
 def test_orphan_shard_invisible(registered, tmp_path):
@@ -190,6 +194,48 @@ def test_compaction(registered, tmp_path):
     assert spans[0][1] < spans[1][0]
 
 
+def test_compaction_recovers_from_dead_attempt(registered, tmp_path):
+    """A compact() that died mid-flight leaves a stale side store and/or
+    unlisted orphan shards; the committed view stays intact and a retry
+    cleans up and succeeds."""
+    import shutil
+
+    spark = registered
+    out = str(tmp_path / "store")
+    for k in range(3):
+        spark.createDataFrame(
+            [(k * 10 + i, 1, 0, "COPY", 0, 0, 5, None) for i in range(10)],
+            CT.SIDP_SCHEMA,
+        ).coalesce(1).write.format("sidp").mode(
+            "overwrite" if k == 0 else "append"
+        ).save(out)
+    before = _sorted_rows(spark.read.format("sidp").load(out))
+
+    # simulate a crash AFTER the side store was written but BEFORE the
+    # manifest swap: stale .compact_tmp + one orphan already moved over
+    side = os.path.join(out, ".compact_tmp")
+    os.makedirs(side)
+    with open(os.path.join(side, CT.MANIFEST), "w") as fh:
+        json.dump({"shards": [], "n_records": 0, "version": CT.VERSION}, fh)
+    orphan = CT.MAGIC + bytes([CT.VERSION]) + CT._pack_record(
+        999, 999, [(0, "COPY", 0, 0, 1, None)]
+    )
+    with open(os.path.join(out, "part-dead-attempt.sidp"), "wb") as fh:
+        fh.write(orphan)
+
+    # committed view unaffected by the debris
+    assert _sorted_rows(spark.read.format("sidp").load(out)) == before
+    # retry compacts cleanly: debris swept, rows identical
+    CT.compact(spark, out, 2)
+    man = json.load(open(os.path.join(out, CT.MANIFEST)))
+    assert len(man["shards"]) == 2
+    assert _sorted_rows(spark.read.format("sidp").load(out)) == before
+    files = {f for f in os.listdir(out) if f.endswith(".sidp")}
+    assert files == {s["name"] for s in man["shards"]}
+    assert not os.path.exists(side)
+    shutil.rmtree(out)
+
+
 def test_record_codec_property():
     """Property: pack -> stream-iterate roundtrips any instruction list
     (no Spark; pure codec)."""
@@ -211,14 +257,14 @@ def test_record_codec_property():
         st.lists(instr, min_size=1, max_size=20),
     )
     def roundtrip(id_a, id_b, instrs):
-        # payload survives only for INSERTs (COPY payloads are not stored)
-        norm = [
-            (i, k, a, b, l, (p or "") if k == "INSERT" else None)
-            for i, k, a, b, l, p in instrs
-        ]
-        blob = CT.MAGIC + bytes([CT.VERSION]) + CT._pack_record(id_a, id_b, norm)
+        # the null-payload kind bit makes the codec exact for EVERY row
+        # the schema admits: None vs "" survive distinctly, and a payload
+        # on a COPY (legal per schema, unused by the kernels) survives too
+        blob = CT.MAGIC + bytes([CT.VERSION]) + CT._pack_record(
+            id_a, id_b, instrs
+        )
         out = list(CT._iter_records(blob, "prop"))
-        assert out == [(id_a, id_b, norm)]
+        assert out == [(id_a, id_b, instrs)]
 
     roundtrip()
 
