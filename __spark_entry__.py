@@ -22,6 +22,7 @@ from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
 from imdedup_plus_spark import chunking as CH, clustering as CL, metrics as M
 from imdedup_plus_spark import multimodal as MM
 from imdedup_plus_spark import oracle, signatures as S, spans as SP, textfns as T
+from imdedup_plus_spark import weburl as WU
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
 
 ID = "doc_id"
@@ -31,6 +32,20 @@ ID = "doc_id"
 import dataclasses as _dc
 
 HOTWIN_CFG = _dc.replace(CFG, hot_window=4)
+
+#: one SQL string, two engines: Spark's printf IS format_string and
+#: DuckDB's printf is C-style — '%d' on BIGINT behaves identically, so
+#: the synthetic recrawl URLs for web_recrawl_dedup come from the same
+#: expression text on both sides (the weburl.py rule-table discipline)
+_SYNTH_URL_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN printf('https://site%d.example/page/%d', doc_id % 13, doc_id % 17) "
+    "WHEN 1 THEN printf('http://www.site%d.example/page/%d/', doc_id % 13, doc_id % 17) "
+    "WHEN 2 THEN printf('https://site%d.example:443/page/%d?utm_source=feed', "
+    "doc_id % 13, doc_id % 17) "
+    "ELSE printf('https://site%d.example/page/%d?id=7&utm_campaign=x', "
+    "doc_id % 13, doc_id % 17) END"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +109,8 @@ _QUERY_ORDER = [
     # stage 2: spans + restore
     "dedup_spans", "dedup_span_summary", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
-    # exact-dup prepass + text analysis
+    # exact-dup prepass + web/text analysis
+    "web_recrawl_dedup",
     "dedup_exact_groups", "text_token_stats", "text_bpe_tokens",
     "text_quality_score", "text_lang_id", "text_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -104,7 +120,7 @@ _QUERY_ORDER = [
     "mm_jpeg_ycbcr_stats", "dedup_jpeg_dct_signatures",
     "dedup_jpeg_dct_pairs", "mm_wav_features",
     # chunking
-    "dedup_cdc_chunks", "dedup_gear_chunks", "dedup_cdc_shared_chunks",
+    "dedup_cdc_chunks", "dedup_cdc_shared_chunks",
     # embeddings / ANN
     "emb_cosine_topk", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
     "emb_ivf_cells",
@@ -113,10 +129,13 @@ _QUERY_ORDER = [
     "tpch_pricing_summary", "tpch_top_orders_per_segment",
     "events_sessionize", "events_json_extract", "orders_monthly_revenue",
     "orders_rollup_revenue", "events_windowed_counts", "events_orders_asof",
-    # ---- position 51+: pure projections / folds of checked lanes ----
+    # ---- position 51+: pure projections / folds / same-lane variants of
+    # checked lanes (dedup_gear_chunks = dedup_cdc_chunks's lane with the
+    # gear rolling hash swapped in; oracle-checked locally by
+    # scripts/driver_check.py, which runs ALL entries) ----
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
-    "dedup_similarity_histogram",
+    "dedup_similarity_histogram", "dedup_gear_chunks",
 ]
 
 
@@ -514,6 +533,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_orders_asof"] = _asof
 
+    # --- URL canonicalization + recrawl collapse (weburl.py) ---
+    # the driver table has no url column, so synthesize the Common-Crawl
+    # shape deterministically from doc_id: 13x17 = 221 canonical pages,
+    # each "crawled" by every doc_id congruent mod 221, under 4 cosmetic
+    # URL decorations; warc_ts := doc_id orders the revisions
+    def _recrawl(spark, sf):
+        docs = _docs(spark, sf).select(
+            ID,
+            F.expr(_SYNTH_URL_SQL).alias("url"),
+            F.col(ID).alias("warc_ts"),
+        )
+        out = WU.latest_revision(docs, keep_cols=[ID, "url"])
+        return out.select(
+            "canonical_url",
+            F.col("n_revisions").cast("long").alias("n_revisions"),
+            F.col("first_ts").cast("long").alias("first_ts"),
+            F.col("last_ts").cast("long").alias("last_ts"),
+            F.col(ID).alias("kept_doc_id"),
+            F.col("url").alias("kept_url"),
+        )
+
+    q["web_recrawl_dedup"] = _recrawl
+
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
         sorted(set(q) ^ set(_QUERY_ORDER))
@@ -550,6 +592,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT band_id, band_hash, bucket_size FROM bucket_sizes "
             f"WHERE bucket_size > {CFG.bucket_cap}"
         ),
+        "web_recrawl_dedup": f"""
+            WITH u AS (
+              SELECT doc_id, {_SYNTH_URL_SQL} AS url, doc_id AS warc_ts
+              FROM documents
+            ), c AS (
+              SELECT *, {WU.canonicalize_sql('url')} AS canonical_url FROM u
+            ), r AS (
+              SELECT *,
+                row_number() OVER (
+                  PARTITION BY canonical_url
+                  ORDER BY warc_ts DESC, url ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY canonical_url) AS n_revisions,
+                MIN(warc_ts) OVER (PARTITION BY canonical_url) AS first_ts,
+                MAX(warc_ts) OVER (PARTITION BY canonical_url) AS last_ts
+              FROM c
+            )
+            SELECT canonical_url, n_revisions, first_ts, last_ts,
+                   doc_id AS kept_doc_id, url AS kept_url
+            FROM r WHERE rn = 1
+        """,
         "dedup_candidate_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands FROM cand_pairs"
         ),

@@ -1,0 +1,104 @@
+"""URL canonicalization + recrawl collapse: Spark/DuckDB parity on the
+shared rule table, collapse semantics, determinism."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import weburl as W
+
+# messy -> expected canonical form (hand-derived from the rule table)
+CASES = [
+    ("https://Site01.Example/Page/7", "site01.example/page/7"),
+    ("http://www.site01.example/page/7/", "site01.example/page/7"),
+    ("https://site01.example:443/page/7", "site01.example/page/7"),
+    ("http://site01.example:80/page/7#frag", "site01.example/page/7"),
+    ("https://site01.example/page/7?utm_source=feed", "site01.example/page/7"),
+    (
+        "https://site01.example/page/7?utm_a=1&utm_b=2&c=3",
+        "site01.example/page/7?c=3",
+    ),
+    (
+        "https://site01.example/page/7?a=1&utm_x=2&b=3",
+        "site01.example/page/7?a=1&b=3",
+    ),
+    ("https://site01.example/p?utm_a=1&utm_b=2", "site01.example/p"),
+    # 'ref' must not match inside 'pref' (delimiter-consuming patterns)
+    ("https://s.example/p?pref=1", "s.example/p?pref=1"),
+    ("https://s.example/p?a=1&pref=2&ref=3", "s.example/p?a=1&pref=2"),
+    ("https://s.example/p?ref=x&a=1", "s.example/p?a=1"),
+    ("https://s.example/p?fbclid=abc#x", "s.example/p"),
+    ("https://s.example///", "s.example"),
+    ("https://s.example:8080/p", "s.example:8080/p"),  # non-default kept
+]
+
+
+def test_canonicalize_parity_spark_duckdb(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(W.canonicalize_url("url").alias("c"))
+        .orderBy("url")  # deterministic row order isn't guaranteed otherwise
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in CASES])
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {W.canonicalize_sql('url')} FROM t ORDER BY url"
+        ).fetchall()
+    ]
+    want = [c for _, c in sorted(CASES)]
+    assert got == want
+    assert duck == want
+
+
+def test_canonicalize_expected_forms(spark):
+    df = spark.createDataFrame(CASES, "url string, want string")
+    bad = df.where(W.canonicalize_url("url") != F.col("want")).collect()
+    assert bad == []
+
+
+def test_latest_revision_collapse(spark):
+    rows = [
+        # three recrawls of one page under cosmetic variations
+        ("https://a.example/p/1?utm_source=x", 100, "v1"),
+        ("http://www.a.example/p/1/", 300, "v3"),
+        ("https://a.example/p/1", 200, "v2"),
+        # a singleton
+        ("https://b.example/q", 50, "only"),
+        # a timestamp tie -> url-ascending breaks it deterministically
+        ("https://c.example/r?a=1", 70, "tie_a"),
+        ("https://c.example/r?a=1#frag", 70, "tie_b"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    out = W.latest_revision(
+        docs, keep_cols=["url", "warc_ts", "text"]
+    ).orderBy("canonical_url")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        # newest warc_ts wins; revision span + count carried along
+        ("a.example/p/1", 3, 100, 300, "http://www.a.example/p/1/", 300, "v3"),
+        ("b.example/q", 1, 50, 50, "https://b.example/q", 50, "only"),
+        # tie at 70: lexicographically smaller ORIGINAL url wins
+        ("c.example/r?a=1", 2, 70, 70, "https://c.example/r?a=1", 70, "tie_a"),
+    ]
+
+
+def test_latest_revision_partitioning_invariant(spark):
+    """Result is identical under different input partitionings (the
+    window's explicit ordering, not arrival order, decides winners)."""
+    rows = [
+        (f"https://s{i % 5}.example/p/{i % 7}?utm_c={i}", i, f"t{i}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    a = W.latest_revision(docs.repartition(1), keep_cols=["text"])
+    b = W.latest_revision(docs.repartition(16, "text"), keep_cols=["text"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # 5*7 = 35 canonical pages, each crawled ~6x
+    assert a.count() == 35
