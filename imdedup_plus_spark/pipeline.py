@@ -67,6 +67,7 @@ from . import spans as SP
 from .config import DedupConfig
 
 STAGES = (
+    "recrawls",
     "exact_groups",
     "signatures",
     "verified_pairs",
@@ -84,11 +85,17 @@ class CheckpointedPipeline:
         cfg: DedupConfig | None = None,
         id_col: str = "doc_id",
         cc_algorithm: str = "minlabel",
+        collapse_recrawls: bool = False,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg or DedupConfig()
         self.id_col = id_col
+        #: opt-in Common-Crawl pre-stage (weburl.py): canonicalize URLs and
+        #: keep only the newest warc_ts revision per canonical URL, so exact
+        #: recrawl volume never reaches shingling. Requires url + warc_ts
+        #: columns on the input (the input_hint shape).
+        self.collapse_recrawls = collapse_recrawls
         #: "minlabel" (default; O(diameter) rounds, fine for shallow web
         #: fan-outs) or "star" (large-star/small-star, O(log^2 n) rounds
         #: for adversarial long-chain pair graphs) — see clustering.py
@@ -145,6 +152,21 @@ class CheckpointedPipeline:
     # -- stages --------------------------------------------------------------
     def run(self, docs: DataFrame) -> dict[str, DataFrame]:
         cfg, idc = self.cfg, self.id_col
+
+        if self.collapse_recrawls:
+            from . import weburl as WU
+
+            missing = {"url", "warc_ts"} - set(docs.columns)
+            if missing:
+                raise ValueError(
+                    f"collapse_recrawls needs url+warc_ts columns; missing {missing}"
+                )
+            keep = list(docs.columns)
+            src = docs
+            docs = self._stage(
+                "recrawls", lambda: WU.latest_revision(src, keep_cols=keep)
+            )
+
         valid = S.valid_documents(docs, cfg)
 
         exact_groups = None

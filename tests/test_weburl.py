@@ -63,6 +63,44 @@ def test_canonicalize_expected_forms(spark):
     assert bad == []
 
 
+def test_canonicalize_parity_property(spark):
+    """Property: the two compilers of the rule table agree on arbitrary
+    ASCII URL soup — one batched Spark/DuckDB comparison over a
+    hypothesis-grown corpus of delimiter-heavy strings (the regex chain
+    must behave identically in Java regex and RE2 on every input, not
+    just well-formed URLs)."""
+    from hypothesis import given, settings, strategies as st
+
+    frag = st.sampled_from(
+        ["http://", "https://", "www.", ":80", ":443", ":8080", "/", "//",
+         "?", "&", "#", "=", "utm_source", "utm_", "ref", "pref", "fbclid",
+         "gclid", "a", "B", "x1", ".example", "page", "%20", "~", "_"]
+    )
+    url = st.lists(frag, min_size=0, max_size=12).map("".join)
+
+    corpus: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(url)
+    def grow(u):
+        corpus.append(u)
+
+    grow()
+    uniq = sorted(set(corpus))
+    df = spark.createDataFrame([(u,) for u in uniq], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", W.canonicalize_url("url").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in uniq])
+    duck = dict(
+        con.execute(f"SELECT url, {W.canonicalize_sql('url')} FROM t").fetchall()
+    )
+    assert got == duck
+
+
 def test_latest_revision_collapse(spark):
     rows = [
         # three recrawls of one page under cosmetic variations
@@ -87,6 +125,52 @@ def test_latest_revision_collapse(spark):
         # tie at 70: lexicographically smaller ORIGINAL url wins
         ("c.example/r?a=1", 2, 70, 70, "https://c.example/r?a=1", 70, "tie_a"),
     ]
+
+
+def test_pipeline_recrawl_collapse(spark, fixture_corpus, tmp_path):
+    """Pipeline pre-stage: a corpus polluted with stale decorated recrawls
+    yields the SAME clusters as the clean corpus once collapse_recrawls
+    is on — and the stage checkpoints/resumes like every other."""
+    from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+    from imdedup_plus_spark.pipeline import CheckpointedPipeline
+
+    docs = fixture_corpus.drop("base_id", "variant")
+    stale = (
+        docs.withColumn("url", F.concat("url", F.lit("?utm_source=feed")))
+        .withColumn("warc_ts", F.expr("warc_ts - INTERVAL 1 HOUR"))
+        .withColumn("text", F.lit("stale placeholder while crawling"))
+    )
+    messy = docs.unionByName(stale)
+
+    base = CheckpointedPipeline(
+        spark, str(tmp_path / "clean"), CFG, id_col="url"
+    ).run(docs)
+    want = sorted((r.url, r.cluster_id) for r in base["clusters"].collect())
+
+    p = CheckpointedPipeline(
+        spark, str(tmp_path / "messy"), CFG, id_col="url",
+        collapse_recrawls=True,
+    )
+    got_res = p.run(messy)
+    got = sorted((r.url, r.cluster_id) for r in got_res["clusters"].collect())
+    assert got == want
+    assert any(l["stage"] == "recrawls" for l in p.lineage())
+    # resume: the recrawls stage is a no-op read on re-run
+    t1 = {l["stage"]: l["completed_at_epoch"] for l in p.lineage()}
+    p2 = CheckpointedPipeline(
+        spark, str(tmp_path / "messy"), CFG, id_col="url",
+        collapse_recrawls=True,
+    )
+    p2.run(messy)
+    t2 = {l["stage"]: l["completed_at_epoch"] for l in p2.lineage()}
+    assert t1 == t2
+
+    # without url/warc_ts the flag fails loudly
+    with pytest.raises(ValueError, match="url"):
+        CheckpointedPipeline(
+            spark, str(tmp_path / "bad"), CFG, id_col="doc_id",
+            collapse_recrawls=True,
+        ).run(docs.drop("url").withColumn("doc_id", F.xxhash64("text")))
 
 
 def test_latest_revision_partitioning_invariant(spark):
