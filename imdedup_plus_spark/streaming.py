@@ -221,6 +221,40 @@ def processed_epochs(state_dir: str) -> list[int]:
     )
 
 
+def _retired_view(
+    spark: SparkSession, state_dir: str, exclude_epoch: int | None = None
+) -> DataFrame | None:
+    """(id, retired_epoch) — the latest retirement per superseded id, from
+    committed state (optionally excluding an in-flight epoch's partials).
+    None when nothing was ever retired. The table holds only ids that were
+    ever recrawled — a compact dimension relative to the corpus (at
+    extreme scale swap the join below for a bloom-filter broadcast)."""
+    store = f"{state_dir}/retired"
+    if not _store_exists(spark, store):
+        return None
+    df = spark.read.parquet(store)
+    if exclude_epoch is not None:
+        df = df.where(F.col("epoch") != exclude_epoch)
+    return df.groupBy(df.columns[0]).agg(F.max("epoch").alias("retired_epoch"))
+
+
+def _exclude_retired(
+    df: DataFrame, retired: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Drop rows of superseded versions: a state row written at ``epoch``
+    is dead iff its id was retired at a LATER epoch (the retirement epoch
+    itself carries the id's new live version). ``df`` must carry its
+    ``epoch`` column."""
+    if retired is None:
+        return df
+    r = retired.withColumnRenamed(retired.columns[0], "__rid__")
+    return (
+        df.join(r, df[id_col] == r["__rid__"], "left")
+        .where(F.col("retired_epoch").isNull() | (df["epoch"] >= F.col("retired_epoch")))
+        .drop("__rid__", "retired_epoch")
+    )
+
+
 def incremental_dedup_batch(
     batch_df: DataFrame,
     state_dir: str,
@@ -228,6 +262,7 @@ def incremental_dedup_batch(
     id_col: str = "url",
     epoch_id: int | None = None,
     n_parts: int = DEFAULT_N_PARTS,
+    supersede: bool = False,
 ) -> None:
     """One micro-batch of the insert+probe loop (callable directly or from
     ``foreachBatch``): sketch new docs, probe the band store, verify, and
@@ -239,8 +274,29 @@ def incremental_dedup_batch(
       maintained incrementally, never recomputed from band membership
     * ``signatures/``   partitioned (epoch, id_part)
     * ``pairs/``        partitioned (epoch) — the output
+    * ``retired/``      partitioned (epoch, id_part) — tombstones: ids
+      whose pre-existing version this epoch superseded (recrawls)
     * ``_epochs/``      one manifest json per committed epoch, written
       LAST — the write-ahead ordering that makes a clean replay a no-op
+
+    ``supersede=True`` is the recrawl-aware mode (the Common-Crawl shape:
+    ``id_col`` is the canonical URL and a page can arrive again with new
+    content). An arriving id that already has a live version in the store
+    RETIRES it: a tombstone row is written, the old version's bands are
+    re-derived from its stored signature (partition-pruned by id_part —
+    never a band-store scan; ``explode_bands`` is deterministic) and
+    cancelled out of the bucket-size deltas, and every state read —
+    probe bands, verify signatures, bucket sizes — excludes versions
+    retired at an earlier epoch. Invariant under consistent use: at most
+    one live version per id, so the current pair set equals a batch run
+    over the current corpus (tests/test_streaming.py asserts equality).
+    Collapse same-id rows WITHIN a batch first (weburl.latest_revision);
+    a batch with duplicate ids raises. Pairs already emitted against a
+    now-retired version stay on disk as history — ``read_pairs(...,
+    current_only=True)`` filters them; the incremental cluster fold is
+    append-only by design, so retirement-induced cluster splits surface
+    only after a full recompute (the compaction analog, documented in
+    update_cluster_store).
 
     Idempotency (foreachBatch is at-least-once): the manifest records the
     batch FINGERPRINT (row count + id-hash sum), so a clean replay of a
@@ -267,7 +323,8 @@ def incremental_dedup_batch(
     bands_store = f"{state_dir}/bands"
     deltas_store = f"{state_dir}/bucket_deltas"
     pairs_store = f"{state_dir}/pairs"
-    stores = (pairs_store, bands_store, deltas_store, sig_store)
+    retired_store = f"{state_dir}/retired"
+    stores = (pairs_store, bands_store, deltas_store, sig_store, retired_store)
 
     if epoch_id is None:
         done = processed_epochs(state_dir)
@@ -283,8 +340,15 @@ def incremental_dedup_batch(
     fp_row = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+        F.countDistinct(id_col).alias("n_ids"),
     ).collect()[0]
     batch_fp = f"{fp_row['n']}:{fp_row['h']}"
+    if supersede and fp_row["n"] != fp_row["n_ids"]:
+        raise ValueError(
+            f"supersede batch has duplicate ids ({fp_row['n']} rows, "
+            f"{fp_row['n_ids']} distinct {id_col}): collapse within-batch "
+            "revisions first (weburl.latest_revision)"
+        )
 
     manifest = _epoch_manifest(state_dir, epoch_id)
     if os.path.exists(manifest):
@@ -317,15 +381,57 @@ def incremental_dedup_batch(
         F.count(F.lit(1)).cast("long").alias("delta")
     )
 
+    id_part = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_parts)).cast("int")
+    retired = _retired_view(spark, state_dir, exclude_epoch=epoch_id)
+    retired_new = None
+    if supersede and _store_exists(spark, sig_store):
+        # prior LIVE versions of this batch's ids: partition-pruned read of
+        # the signature store by the batch ids' id_part values, semi-joined
+        # to the batch, minus versions already retired earlier
+        bid_parts = [
+            r[0]
+            for r in sig_new.select(id_part(id_col).alias("p")).distinct().collect()
+        ]
+        prior = (
+            spark.read.parquet(sig_store)
+            .where(F.col("id_part").isin(bid_parts) & (F.col("epoch") != epoch_id))
+            .join(sig_new.select(id_col), id_col, "leftsemi")
+        )
+        prior = _exclude_retired(prior, retired, id_col)
+        prior = prior.localCheckpoint(eager=True)  # re-used: tombstones + neg deltas
+        if prior.limit(1).count() > 0:
+            retired_new = prior.select(id_col).distinct()
+            # the dead version's bands, re-derived deterministically from its
+            # signature — cancel them out of the bucket sizes as of THIS epoch
+            dead_bands = S.explode_bands(
+                prior.select(*sig_new.columns), cfg, id_col
+            ).withColumn(
+                "bh_part",
+                F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(n_parts)).cast("int"),
+            )
+            neg_deltas = dead_bands.groupBy("band_id", "band_hash", "bh_part").agg(
+                (-F.count(F.lit(1))).cast("long").alias("delta")
+            )
+            deltas_new = deltas_new.unionByName(neg_deltas)
+            retired = (
+                retired.unionByName(
+                    retired_new.withColumn("retired_epoch", F.lit(epoch_id))
+                ).groupBy(id_col).agg(F.max("retired_epoch").alias("retired_epoch"))
+                if retired is not None
+                else retired_new.withColumn("retired_epoch", F.lit(epoch_id))
+            )
+
     touched = [r[0] for r in bands_new.select("bh_part").distinct().collect()]
     band_cols = [c for c in bands_new.columns if c != "bh_part"]
 
     if _store_exists(spark, bands_store):
-        old_bands = (
+        old_bands = _exclude_retired(
             spark.read.parquet(bands_store)
             .where(F.col("bh_part").isin(touched) & (F.col("epoch") != epoch_id))
-            .select(*band_cols)
-        )
+            .select(*band_cols, "epoch"),
+            retired,
+            id_col,
+        ).select(*band_cols)
         bands_all = old_bands.unionByName(bands_new.select(*band_cols))
         old_deltas = (
             spark.read.parquet(deltas_store)
@@ -347,7 +453,6 @@ def incremental_dedup_batch(
         bands_new.select(*band_cols), bands_all, cfg, id_col, sizes=sizes
     ).localCheckpoint(eager=True)
 
-    id_part = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_parts)).cast("int")
     if _store_exists(spark, sig_store):
         need_parts = [
             r[0]
@@ -357,11 +462,13 @@ def incremental_dedup_batch(
             .collect()
         ]
         sig_cols = sig_new.columns
-        old_sigs = (
+        old_sigs = _exclude_retired(
             spark.read.parquet(sig_store)
             .where(F.col("id_part").isin(need_parts) & (F.col("epoch") != epoch_id))
-            .select(*sig_cols)
-        )
+            .select(*sig_cols, "epoch"),
+            retired,
+            id_col,
+        ).select(*sig_cols)
         sig_all = old_sigs.unionByName(sig_new)
     else:
         sig_all = sig_new
@@ -385,6 +492,16 @@ def incremental_dedup_batch(
         sig_store,
         ["epoch", "id_part"],
     )
+    n_retired = 0
+    if retired_new is not None:
+        n_retired = retired_new.count()
+        _dyn_overwrite(
+            retired_new.withColumn("id_part", id_part(id_col)).withColumn(
+                "epoch", F.lit(epoch_id)
+            ),
+            retired_store,
+            ["epoch", "id_part"],
+        )
 
     os.makedirs(os.path.dirname(manifest), exist_ok=True)
     tmp = manifest + ".tmp"
@@ -394,6 +511,7 @@ def incremental_dedup_batch(
                 "epoch": epoch_id,
                 "batch_fp": batch_fp,
                 "touched_bh_parts": sorted(touched),
+                "n_retired": n_retired,
             },
             fh,
         )
@@ -409,12 +527,16 @@ def run_incremental_stream(
     schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
     max_files_per_trigger: int | None = None,
     n_parts: int = DEFAULT_N_PARTS,
+    supersede: bool = False,
 ) -> None:
     """Drain all currently-available files under ``input_dir`` through the
     incremental loop (``Trigger.AvailableNow``) and stop. Re-invoking after
     new files land processes only the new ones — the stream checkpoint
     under ``state_dir/_stream_checkpoint`` carries source progress across
     runs (the kill-and-resume story of the north rule, streaming edition).
+    ``supersede=True`` is the recrawl-aware mode (see
+    ``incremental_dedup_batch``); batches must be id-unique — collapse
+    within-batch revisions upstream with ``weburl.latest_revision``.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -425,7 +547,8 @@ def run_incremental_stream(
         if batch_df.isEmpty():
             return
         incremental_dedup_batch(
-            batch_df, state_dir, cfg, id_col, epoch_id=epoch, n_parts=n_parts
+            batch_df, state_dir, cfg, id_col, epoch_id=epoch, n_parts=n_parts,
+            supersede=supersede,
         )
 
     q = (
@@ -743,17 +866,41 @@ def read_clusters(
     )
 
 
-def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_pairs(
+    spark: SparkSession, state_dir: str, current_only: bool = False
+) -> DataFrame:
     """Pairs from COMMITTED epochs only. ``pairs/`` is the first of the
-    four stores written, so a crash mid-epoch leaves a pairs partition
-    whose backing band/signature state never committed — filtering on the
-    manifests keeps phantom epochs out of consumer counts."""
+    stores written, so a crash mid-epoch leaves a pairs partition whose
+    backing band/signature state never committed — filtering on the
+    manifests keeps phantom epochs out of consumer counts.
+
+    ``current_only=True`` additionally drops pairs that involve a
+    SUPERSEDED version (supersede mode): a pair emitted at epoch P is
+    current iff neither member was retired at an epoch later than P —
+    the pair re-materializes at the retirement epoch when the new
+    version still matches. With one live version per id (the supersede
+    invariant) the current pair set equals a batch run over the current
+    corpus."""
     done = processed_epochs(state_dir)
-    return (
-        spark.read.parquet(f"{state_dir}/pairs")
-        .where(F.col("epoch").isin(done))
-        .drop("epoch")
-    )
+    pairs = spark.read.parquet(f"{state_dir}/pairs").where(F.col("epoch").isin(done))
+    if current_only:
+        retired = _retired_view(spark, state_dir)
+        if retired is not None:
+            idc = retired.columns[0]
+            for side in ("id_a", "id_b"):
+                r = retired.select(
+                    F.col(idc).alias(f"__r_{side}__"),
+                    F.col("retired_epoch").alias(f"__re_{side}__"),
+                )
+                pairs = (
+                    pairs.join(r, pairs[side] == r[f"__r_{side}__"], "left")
+                    .where(
+                        F.col(f"__re_{side}__").isNull()
+                        | (F.col("epoch") >= F.col(f"__re_{side}__"))
+                    )
+                    .drop(f"__r_{side}__", f"__re_{side}__")
+                )
+    return pairs.drop("epoch")
 
 
 def windowed_event_counts(

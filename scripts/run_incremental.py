@@ -66,6 +66,13 @@ def main() -> int:
         help="after folding, compact the cluster store (resolved base + "
         "empty remap snapshot) — run periodically to bound snapshot growth",
     )
+    ap.add_argument(
+        "--supersede", action="store_true",
+        help="recrawl-aware mode: an arriving id that already has a live "
+        "version retires it (tombstones + negative bucket deltas); batches "
+        "must be id-unique — collapse within-batch revisions upstream "
+        "(weburl.latest_revision). Current pairs: read_pairs(current_only)",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -98,9 +105,12 @@ def main() -> int:
         id_col=args.id_col,
         schema=args.schema,
         max_files_per_trigger=args.max_files_per_trigger,
+        supersede=args.supersede,
     )
     try:
-        n_pairs = ST.read_pairs(spark, args.state).count()
+        n_pairs = ST.read_pairs(
+            spark, args.state, current_only=args.supersede
+        ).count()
     except Exception:
         n_pairs = 0
     out = {"state": args.state, "total_verified_pairs": n_pairs}

@@ -43,6 +43,103 @@ def test_incremental_matches_batch(spark, fixture_corpus, tmp_path):
     assert got == _batch_pairs(docs)
 
 
+def test_supersede_recrawl_matches_batch_on_current_corpus(
+    spark, fixture_corpus, tmp_path
+):
+    """Recrawl-aware mode: epoch 1 re-delivers some urls with NEW content
+    plus brand-new docs. The current pair set must equal a one-shot batch
+    run over the CURRENT corpus (old versions replaced) — retirement
+    must remove the dead versions from probes, verification, and bucket
+    sizes alike."""
+    docs, h1, h2 = _halves(fixture_corpus)
+    # recrawl 1/3 of h1's urls with different text; add h2 as new docs
+    recrawled = (
+        h1.where(F.crc32("url") % 3 == 0)
+        .withColumn("text", F.concat(F.lit("rewritten page body "), "text"))
+        .withColumn("warc_ts", F.expr("warc_ts + INTERVAL 1 DAY"))
+    )
+    epoch1 = h2.unionByName(recrawled)
+    current = h1.join(
+        recrawled.select("url"), "url", "left_anti"
+    ).unionByName(epoch1)
+
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url", epoch_id=0, supersede=True)
+    ST.incremental_dedup_batch(epoch1, state, CFG, "url", epoch_id=1, supersede=True)
+
+    got = {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    assert got == _batch_pairs(current)
+    # history is preserved: without the filter there are stale pairs too
+    assert ST.read_pairs(spark, state).count() >= len(got)
+    # tombstones recorded for exactly the recrawled urls that existed
+    ret = {r[0] for r in spark.read.parquet(f"{state}/retired").select("url").collect()}
+    assert ret == {r[0] for r in recrawled.select("url").collect()}
+
+
+def test_supersede_bucket_sizes_stay_consistent(spark, fixture_corpus, tmp_path):
+    """After retirement the incremental bucket-size rollup (sum of deltas,
+    incl. the negative retirement deltas) equals a recount over the LIVE
+    band rows."""
+    docs, h1, _h2 = _halves(fixture_corpus)
+    recrawled = h1.withColumn("text", F.concat(F.lit("v2 "), "text"))
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url", epoch_id=0, supersede=True)
+    ST.incremental_dedup_batch(recrawled, state, CFG, "url", epoch_id=1, supersede=True)
+
+    deltas = (
+        spark.read.parquet(f"{state}/bucket_deltas")
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("delta").alias("bucket_size"))
+        .where(F.col("bucket_size") > 0)
+    )
+    live_sig = S.signature_kernel_arrow(recrawled, CFG, "url")
+    live = (
+        S.explode_bands(live_sig, CFG, "url")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+    )
+    assert sorted(map(tuple, deltas.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_supersede_replay_is_idempotent(spark, fixture_corpus, tmp_path):
+    docs, h1, _h2 = _halves(fixture_corpus)
+    recrawled = h1.withColumn("text", F.concat(F.lit("v2 "), "text"))
+    state = str(tmp_path / "state")
+    ST.incremental_dedup_batch(h1, state, CFG, "url", epoch_id=0, supersede=True)
+    ST.incremental_dedup_batch(recrawled, state, CFG, "url", epoch_id=1, supersede=True)
+    before = {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    n_ret = spark.read.parquet(f"{state}/retired").count()
+    # clean replay of the committed epoch: everything unchanged
+    ST.incremental_dedup_batch(recrawled, state, CFG, "url", epoch_id=1, supersede=True)
+    after = {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    assert after == before
+    assert spark.read.parquet(f"{state}/retired").count() == n_ret
+
+
+def test_supersede_rejects_duplicate_ids_in_batch(spark, fixture_corpus, tmp_path):
+    docs, h1, _h2 = _halves(fixture_corpus)
+    dup = h1.limit(4).unionByName(h1.limit(4))
+    with pytest.raises(ValueError, match="duplicate ids"):
+        ST.incremental_dedup_batch(
+            dup, str(tmp_path / "state"), CFG, "url", epoch_id=0, supersede=True
+        )
+
+
 def test_stream_file_source_and_resume(spark, fixture_corpus, tmp_path):
     """Two stream invocations over a growing input dir: the second run's
     checkpoint skips already-processed files, and the union of emitted
