@@ -232,7 +232,11 @@ def _retired_view(
     store = f"{state_dir}/retired"
     if not _store_exists(spark, store):
         return None
-    df = spark.read.parquet(store)
+    # committed epochs only: a crashed attempt's tombstone partials must
+    # not retire anything until its epoch's manifest lands
+    df = spark.read.parquet(store).where(
+        F.col("epoch").isin(processed_epochs(state_dir))
+    )
     if exclude_epoch is not None:
         df = df.where(F.col("epoch") != exclude_epoch)
     return df.groupBy(df.columns[0]).agg(F.max("epoch").alias("retired_epoch"))
@@ -901,6 +905,145 @@ def read_pairs(
                     .drop(f"__r_{side}__", f"__re_{side}__")
                 )
     return pairs.drop("epoch")
+
+
+def compact_state_store(
+    spark: SparkSession, state_dir: str, id_col: str = "url"
+) -> dict:
+    """Physically remove superseded versions from the dedup state — the
+    Iceberg ``rewrite_data_files`` + tombstone-expiry analog. Supersede
+    mode accumulates garbage monotonically (dead band/signature rows
+    filtered on every probe, stale pairs filtered by ``current_only``,
+    tombstones joined per read); run this periodically — with no stream
+    in flight — to reset that cost to zero.
+
+    What it does, in crash-safe order (tombstones are the source of
+    truth for deadness, so they are cleared LAST; a crash anywhere
+    earlier leaves a state that still reads correctly and a re-run
+    completes the job):
+
+    1. rewrite ``bands/`` and ``signatures/`` keeping live rows only,
+       each row staying in its ORIGINAL (epoch, part) partition (dynamic
+       overwrite — epochs, manifests, and replay fingerprints are
+       untouched);
+    2. recompute ``bucket_deltas/`` from the live bands (each live row
+       contributes +1 at its insertion epoch; retirement negatives and
+       their matching positives vanish together — future probe-time
+       rollups are unchanged);
+    3. rewrite ``pairs/`` keeping current pairs only (the
+       ``read_pairs(current_only=True)`` predicate, materialized);
+    4. sweep partition directories that became empty (dynamic overwrite
+       cannot delete a partition it writes no rows for — without the
+       sweep, fully-dead partitions would resurrect at step 5);
+    5. remove ``retired/`` — the commit point.
+
+    After compaction ``read_pairs(current_only=True)`` ==
+    ``read_pairs(...)`` and subsequent epochs behave identically to an
+    uncompacted store (asserted in tests). The incremental cluster store
+    is NOT rewritten (its fold is append-only by design — see
+    ``update_cluster_store``); a full recompute over the compacted pairs
+    is the cluster-side analog."""
+    import os
+    import shutil
+
+    retired = _retired_view(spark, state_dir)
+    if retired is None:
+        return {"n_removed_versions": 0}
+    done = processed_epochs(state_dir)
+    n_removed = retired.count()
+
+    def _sweep(store: str, keep: set[tuple], levels: list[str]) -> None:
+        """Remove partition dirs not present in the live output."""
+        if not os.path.isdir(store):
+            return
+        for d1 in os.listdir(store):
+            p1 = os.path.join(store, d1)
+            if not (os.path.isdir(p1) and d1.startswith(f"{levels[0]}=")):
+                continue
+            v1 = d1.split("=", 1)[1]
+            if len(levels) == 1:
+                if (v1,) not in keep:
+                    shutil.rmtree(p1)
+                continue
+            for d2 in os.listdir(p1):
+                p2 = os.path.join(p1, d2)
+                if not (os.path.isdir(p2) and d2.startswith(f"{levels[1]}=")):
+                    continue
+                if (v1, d2.split("=", 1)[1]) not in keep:
+                    shutil.rmtree(p2)
+            if not any(e.startswith(f"{levels[1]}=") for e in os.listdir(p1)):
+                shutil.rmtree(p1)
+
+    def _keep_set(df: DataFrame, levels: list[str]) -> set[tuple]:
+        return {
+            tuple(str(r[c]) for c in levels)
+            for r in df.select(*levels).distinct().collect()
+        }
+
+    # 1. bands + signatures: live rows, original partitions
+    bands_store = f"{state_dir}/bands"
+    live_bands = _exclude_retired(
+        spark.read.parquet(bands_store).where(F.col("epoch").isin(done)),
+        retired,
+        id_col,
+    ).localCheckpoint(eager=True)  # severed from the store it overwrites
+    _dyn_overwrite(live_bands, bands_store, ["epoch", "bh_part"])
+    keep_bands = _keep_set(live_bands, ["epoch", "bh_part"])
+
+    sig_store = f"{state_dir}/signatures"
+    live_sigs = _exclude_retired(
+        spark.read.parquet(sig_store).where(F.col("epoch").isin(done)),
+        retired,
+        id_col,
+    ).localCheckpoint(eager=True)
+    _dyn_overwrite(live_sigs, sig_store, ["epoch", "id_part"])
+    keep_sigs = _keep_set(live_sigs, ["epoch", "id_part"])
+
+    # 2. deltas: recomputed from live bands
+    deltas_store = f"{state_dir}/bucket_deltas"
+    live_deltas = live_bands.groupBy("epoch", "bh_part", "band_id", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("delta")
+    )
+    _dyn_overwrite(
+        live_deltas.select("band_id", "band_hash", "delta", "epoch", "bh_part"),
+        deltas_store,
+        ["epoch", "bh_part"],
+    )
+
+    # 3. pairs: the current_only predicate, materialized
+    pairs_store = f"{state_dir}/pairs"
+    pairs = spark.read.parquet(pairs_store).where(F.col("epoch").isin(done))
+    for side in ("id_a", "id_b"):
+        r = retired.select(
+            F.col(retired.columns[0]).alias(f"__r_{side}__"),
+            F.col("retired_epoch").alias(f"__re_{side}__"),
+        )
+        pairs = (
+            pairs.join(r, pairs[side] == r[f"__r_{side}__"], "left")
+            .where(
+                F.col(f"__re_{side}__").isNull()
+                | (F.col("epoch") >= F.col(f"__re_{side}__"))
+            )
+            .drop(f"__r_{side}__", f"__re_{side}__")
+        )
+    pairs = pairs.localCheckpoint(eager=True)
+    keep_pairs = _keep_set(pairs, ["epoch"])
+    if keep_pairs:
+        _dyn_overwrite(pairs, pairs_store, ["epoch"])
+    else:
+        # partitionBy on an empty frame writes no files at all; park a
+        # zero-row file in the newest epoch so the store stays readable
+        d = os.path.join(pairs_store, f"epoch={done[-1]}")
+        pairs.drop("epoch").coalesce(1).write.mode("overwrite").parquet(d)
+        keep_pairs = {(str(done[-1]),)}
+
+    # 4. sweep fully-dead partitions, 5. drop tombstones (commit point)
+    _sweep(bands_store, keep_bands, ["epoch", "bh_part"])
+    _sweep(sig_store, keep_sigs, ["epoch", "id_part"])
+    _sweep(deltas_store, _keep_set(live_deltas, ["epoch", "bh_part"]), ["epoch", "bh_part"])
+    _sweep(pairs_store, keep_pairs, ["epoch"])
+    shutil.rmtree(f"{state_dir}/retired", ignore_errors=True)
+    return {"n_removed_versions": n_removed}
 
 
 def windowed_event_counts(

@@ -73,6 +73,12 @@ def main() -> int:
         "must be id-unique — collapse within-batch revisions upstream "
         "(weburl.latest_revision). Current pairs: read_pairs(current_only)",
     )
+    ap.add_argument(
+        "--compact-state", action="store_true",
+        help="after draining, physically remove superseded versions from "
+        "bands/signatures/deltas/pairs and drop the tombstones (the "
+        "Iceberg rewrite_data_files analog; run with no stream in flight)",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -114,6 +120,10 @@ def main() -> int:
     except Exception:
         n_pairs = 0
     out = {"state": args.state, "total_verified_pairs": n_pairs}
+    if args.compact_state:
+        out["compact_state"] = ST.compact_state_store(
+            spark, args.state, args.id_col
+        )
     if args.clusters:
         folded = ST.update_cluster_store(spark, args.state, args.id_col)
         out["folded_epochs"] = folded

@@ -131,6 +131,85 @@ def test_supersede_replay_is_idempotent(spark, fixture_corpus, tmp_path):
     assert spark.read.parquet(f"{state}/retired").count() == n_ret
 
 
+def test_compact_state_store(spark, fixture_corpus, tmp_path):
+    """Physical compaction: dead versions leave the disk, the current
+    view is unchanged, and subsequent epochs behave exactly like an
+    uncompacted control store."""
+    docs, h1, h2 = _halves(fixture_corpus)
+    recrawl1 = (
+        h1.where(F.crc32("url") % 3 == 0)
+        .withColumn("text", F.concat(F.lit("rewritten "), "text"))
+    )
+    epoch1 = h2.unionByName(recrawl1)
+    # a second wave for the post-compaction equivalence check
+    recrawl2 = (
+        h2.where(F.crc32("url") % 5 == 0)
+        .withColumn("text", F.concat(F.lit("again rewritten "), "text"))
+    )
+
+    state = str(tmp_path / "state")
+    control = str(tmp_path / "control")
+    for s in (state, control):
+        ST.incremental_dedup_batch(h1, s, CFG, "url", epoch_id=0, supersede=True)
+        ST.incremental_dedup_batch(epoch1, s, CFG, "url", epoch_id=1, supersede=True)
+
+    before = {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    n_recrawled = recrawl1.count()
+    stats = ST.compact_state_store(spark, state, "url")
+    assert stats["n_removed_versions"] == n_recrawled
+    import os
+
+    assert not os.path.exists(f"{state}/retired")
+    # stale pairs physically gone: plain read == current read == before
+    plain = {
+        tuple(r) for r in ST.read_pairs(spark, state).select(*PAIR_COLS).collect()
+    }
+    assert plain == before
+    assert {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    } == before
+    # dead band rows physically gone: store count == live corpus band count
+    current1 = h1.join(recrawl1.select("url"), "url", "left_anti").unionByName(epoch1)
+    live_bands = S.explode_bands(
+        S.signature_kernel_arrow(current1, CFG, "url"), CFG, "url"
+    )
+    assert spark.read.parquet(f"{state}/bands").count() == live_bands.count()
+    # idempotent: nothing left to remove
+    assert ST.compact_state_store(spark, state, "url") == {
+        "n_removed_versions": 0
+    }
+
+    # subsequent epoch: compacted store == uncompacted control
+    for s in (state, control):
+        ST.incremental_dedup_batch(recrawl2, s, CFG, "url", epoch_id=2, supersede=True)
+    got = {
+        tuple(r)
+        for r in ST.read_pairs(spark, state, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in ST.read_pairs(spark, control, current_only=True)
+        .select(*PAIR_COLS)
+        .collect()
+    }
+    assert got == want
+    # and both equal the batch truth over the final corpus
+    current2 = current1.join(
+        recrawl2.select("url"), "url", "left_anti"
+    ).unionByName(recrawl2)
+    assert got == _batch_pairs(current2)
+
+
 def test_supersede_rejects_duplicate_ids_in_batch(spark, fixture_corpus, tmp_path):
     docs, h1, _h2 = _halves(fixture_corpus)
     dup = h1.limit(4).unionByName(h1.limit(4))
