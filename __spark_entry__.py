@@ -23,6 +23,7 @@ from imdedup_plus_spark import chunking as CH, clustering as CL, metrics as M
 from imdedup_plus_spark import multimodal as MM
 from imdedup_plus_spark import oracle, signatures as S, spans as SP, textfns as T
 from imdedup_plus_spark import weburl as WU
+from imdedup_plus_spark.config import KMV_EST_K
 from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
 
 ID = "doc_id"
@@ -136,6 +137,7 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
     "dedup_similarity_histogram", "dedup_gear_chunks",
+    "dedup_distinct_estimate",
 ]
 
 
@@ -246,6 +248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     derives from the spans kernel -> rows-only like dedup_spans) ---
     q["dedup_ratio"] = lambda spark, sf: M.dedup_ratio(
         SP.span_summary(_spans(spark, sf))
+    )
+
+    # --- KMV distinct-shingle / redundancy estimate (single-pass, the
+    #     scale answer to the reference's exact feature-table accounting,
+    #     main.c:483-487; kernel twin never shuffles the universe) ---
+    # kernel form: _sig's Arrow kernel emits packed-binary shingle sets
+    # (untruncated under REFERENCE_CONFIG); parity with the SQL form and
+    # the DuckDB oracle is pytest-gated (tests/test_kmv.py)
+    q["dedup_distinct_estimate"] = (
+        lambda spark, sf: M.distinct_shingle_estimate_kernel(_sig(spark, sf))
     )
 
     # --- global metric fold (#19) ---
@@ -741,6 +753,9 @@ FROM (
             CFG, oracle.DEDUP_RATIO_SELECT, id_col=ID
         ),
         "dedup_roundtrip_check": oracle.roundtrip_check_sql(CFG, id_col=ID),
+        "dedup_distinct_estimate": oracle.kmv_estimate_sql(
+            CFG, KMV_EST_K, id_col=ID
+        ),
         # --- byte-delta lane: same recursive replay over hex-block tokens ---
         "dedup_byte_spans": BD.byte_span_query(
             CFG,

@@ -78,6 +78,14 @@ PERM_P = 2**31 - 1        # Mersenne prime for the LCG permutations
 SHINGLE_MULT = 1000003    # polynomial combiner for shingle windows
 WORD_MULT = 31            # per-character polynomial multiplier
 
+# --- KMV distinct-shingle estimator (metrics.distinct_shingle_estimate) -----
+# spreading permutation h = (A*s + B) mod PERM_P applied before the global
+# bottom-k; classic LCG constants (public domain), both < PERM_P, and
+# A * max_shingle ~ 2**61 < 2**63 so the arithmetic stays in int64.
+KMV_EST_A = 1103515245
+KMV_EST_B = 12345
+KMV_EST_K = 1024          # bottom-k width: relative stderr ~ 1/sqrt(k) ~ 3%
+
 
 def perm_constants(n_perm: int) -> tuple[list[int], list[int]]:
     """Per-permutation (k, b) pairs derived from the reference constants.

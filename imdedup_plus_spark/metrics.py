@@ -60,6 +60,164 @@ def dedup_metrics(
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct-shingle estimator (single-pass redundancy estimate)
+# ---------------------------------------------------------------------------
+#
+# Estimates the number of DISTINCT shingles in the corpus — and from it the
+# shingle-level duplication mass — without ever materializing the distinct
+# set. This is the scale answer to the reference's exact feature-table
+# accounting (`/root/reference/main.c:483-487` counts every feature insert
+# into SF_NUM exact hash tables): at 10^12 docs the exact distinct is a
+# petabyte shuffle, while a KMV sketch of width k answers with ~1/sqrt(k)
+# relative error from one narrow pass.
+#
+# Arithmetic (identical in Spark, numpy kernel, and the DuckDB oracle —
+# oracle.kmv_estimate_sql):
+#   h            = (KMV_EST_A * s + KMV_EST_B) mod PERM_P   for each shingle s
+#   bottom-k     = the k smallest DISTINCT h over the whole corpus
+#   est_distinct = n        if n < k  (sketch not full: exact count)
+#                = (n-1) * PERM_P div (kth + 1)   otherwise (integer floor)
+# with n = |bottom-k| and kth = max(bottom-k). The +1 maps h in [0, P) onto
+# (0, P] so the divisor is never zero; integer div keeps both sides
+# bit-exact (DuckDB `//` == Spark `div` for non-negative operands).
+
+
+def _kmv_set_size(sig_df: DataFrame):
+    if dict(sig_df.dtypes).get("shingle_set") == "binary":
+        return F.expr("CAST(length(shingle_set) / 4 AS INT)")
+    return F.size("shingle_set")
+
+
+def _kmv_finalize(sig_df: DataFrame, bot: DataFrame, k: int) -> DataFrame:
+    """Fold the bottom-k sketch + corpus totals into the one-row estimate."""
+    from .config import PERM_P
+
+    set_sz = _kmv_set_size(sig_df)
+    # the estimator is only meaningful over UNTRUNCATED shingle sets: a
+    # per-doc KMV bottom-64 set (SCALE_CONFIG kernel output) keeps the
+    # smallest *shingle values*, which under the spreading permutation is a
+    # biased sample of h — refuse loudly at execution time
+    trunc = (
+        F.max(F.col("n_set_true") - set_sz) if "n_set_true" in sig_df.columns
+        else F.lit(0)
+    )
+    totals = sig_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(set_sz.cast("long")).alias("n_doc_shingles"),
+        trunc.alias("_trunc"),
+    )
+    sketch = bot.agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_k"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    est = (
+        F.when(F.col("kmv_k") < k, F.col("kmv_k"))
+        .otherwise(F.expr(f"(kmv_k - 1) * {PERM_P} div (kth_hash + 1)"))
+        .alias("est_distinct")
+    )
+    guard = F.when(
+        F.col("_trunc") > 0,
+        F.expr(
+            "raise_error('distinct_shingle_estimate: shingle_set is "
+            "KMV-truncated (n_set_true > |set|); run on untruncated sets')"
+        ).cast("long"),
+    ).otherwise(F.col("n_docs"))
+    return (
+        totals.crossJoin(sketch)
+        .select(
+            guard.alias("n_docs"), "n_doc_shingles", "kmv_k", "kth_hash", est
+        )
+        .withColumn(
+            "dup_shingle_ratio",
+            F.round(F.lit(1.0) - F.col("est_distinct") / F.col("n_doc_shingles"), 6),
+        )
+    )
+
+
+def distinct_shingle_estimate(sig_df: DataFrame, k: int | None = None) -> DataFrame:
+    """REFERENCE form: exact global bottom-k over ``distinct`` h via SQL.
+
+    One row: ``(n_docs, n_doc_shingles, kmv_k, kth_hash, est_distinct,
+    dup_shingle_ratio)``. ``n_doc_shingles`` sums per-doc DISTINCT set
+    sizes, so ``dup_shingle_ratio`` is the cross-document shingle
+    duplication mass — the fraction of per-doc shingle volume that is a
+    repeat of some other document's shingles.
+
+    Scale note: ``.distinct()`` here shuffles every distinct hash once
+    (8 bytes/value — at web scale that is the expensive-but-exact form);
+    :func:`distinct_shingle_estimate_kernel` is the production path that
+    never shuffles the universe.
+    """
+    from .config import KMV_EST_A, KMV_EST_B, KMV_EST_K, PERM_P
+
+    k = KMV_EST_K if k is None else k
+    h = F.pmod(
+        F.lit(KMV_EST_A) * F.col("s").cast("long") + F.lit(KMV_EST_B),
+        F.lit(PERM_P),
+    )
+    bot = (
+        sig_df.select(F.explode("shingle_set").alias("s"))
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return _kmv_finalize(sig_df, bot, k)
+
+
+def distinct_shingle_estimate_kernel(sig_df: DataFrame, k: int | None = None) -> DataFrame:
+    """SCALE form: per-chunk numpy bottom-k partials, then an exact merge.
+
+    ``mapInPandas`` emits at most k candidate hashes per 1024-row chunk
+    (cache-resident, per the measured chunking rule in
+    scripts/bench_verify_forms.py), so the merge input is ~``n_chunks * k``
+    rows — the full shingle universe is never shuffled or distinct-ed.
+    Correct by the KMV union property: any global bottom-k member is a
+    bottom-k member of its own chunk. Bit-identical to
+    :func:`distinct_shingle_estimate` (tests/test_kmv.py parity).
+
+    Accepts ``shingle_set`` as ``ARRAY<INT>`` (SQL path) or packed
+    little-endian int32 ``BINARY`` (kernel path) — untruncated only.
+    """
+    from .config import KMV_EST_A, KMV_EST_B, KMV_EST_K, PERM_P
+
+    k = KMV_EST_K if k is None else k
+    binary = dict(sig_df.dtypes).get("shingle_set") == "binary"
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            col = pdf["shingle_set"]
+            outs = []
+            for lo in range(0, len(col), 1024):
+                chunk = col.iloc[lo : lo + 1024]
+                if binary:
+                    arrs = [np.frombuffer(b, dtype="<i4") for b in chunk]
+                else:
+                    arrs = [np.asarray(a, dtype=np.int64) for a in chunk]
+                arrs = [a for a in arrs if a.size]
+                if not arrs:
+                    continue
+                s = np.concatenate(arrs).astype(np.int64, copy=False)
+                hv = (KMV_EST_A * s + KMV_EST_B) % PERM_P
+                outs.append(np.unique(hv)[:k])
+            if outs:
+                merged = np.unique(np.concatenate(outs))[:k]
+                yield pd.DataFrame({"h": merged})
+
+    bot = (
+        sig_df.select("shingle_set")
+        .mapInPandas(part, "h long")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return _kmv_finalize(sig_df, bot, k)
+
+
 def dedup_ratio(span_sum: DataFrame) -> DataFrame:
     """Token-level dedup ratio over the span summaries — the analog of the
     reference's compression ratio ``(raw - undecodable)/final``

@@ -210,6 +210,34 @@ def stage_query(cfg: DedupConfig, select: str, id_col: str = "doc_id",
     return f"WITH RECURSIVE {pipeline_ctes(cfg, id_col, table)}\n{select}"
 
 
+def kmv_estimate_sql(cfg: DedupConfig, k: int, id_col: str = "doc_id",
+                     table: str = "documents") -> str:
+    """DuckDB replay of ``metrics.distinct_shingle_estimate`` — identical
+    spreading permutation, bottom-k, and integer-floor estimator (DuckDB
+    ``//`` == Spark ``div`` for the non-negative operands here)."""
+    from .config import KMV_EST_A, KMV_EST_B, PERM_P
+
+    sel = f""", exh AS (
+  SELECT DISTINCT ({KMV_EST_A} * CAST(s AS BIGINT) + {KMV_EST_B}) % {PERM_P} AS h
+  FROM (SELECT unnest(shingle_set) AS s FROM sig)
+),
+bot AS (SELECT h FROM exh ORDER BY h LIMIT {k}),
+sk AS (SELECT CAST(count(*) AS BIGINT) AS kmv_k,
+              CAST(max(h) AS BIGINT) AS kth_hash FROM bot),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(shingle_set)) AS BIGINT) AS n_doc_shingles FROM sig),
+est AS (
+  SELECT t.n_docs, t.n_doc_shingles, s.kmv_k, s.kth_hash,
+         CASE WHEN s.kmv_k < {k} THEN s.kmv_k
+              ELSE ((s.kmv_k - 1) * {PERM_P}) // (s.kth_hash + 1) END AS est_distinct
+  FROM tot t CROSS JOIN sk s
+)
+SELECT n_docs, n_doc_shingles, kmv_k, kth_hash, est_distinct,
+       round(1.0 - est_distinct / n_doc_shingles, 6) AS dup_shingle_ratio
+FROM est"""
+    return stage_query(cfg, sel, id_col, table)
+
+
 # ---------------------------------------------------------------------------
 # Span-lane oracle: recursive-CTE replay of the greedy matcher
 # ---------------------------------------------------------------------------

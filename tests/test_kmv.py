@@ -1,0 +1,101 @@
+"""KMV distinct-shingle estimator: accuracy, SQL/kernel parity, guards.
+
+The estimator (metrics.distinct_shingle_estimate) answers "how many
+distinct shingles / how much cross-document shingle duplication" in one
+pass — the scale stand-in for the reference's exact feature-table insert
+accounting (/root/reference/main.c:483-487). The DuckDB side
+(oracle.kmv_estimate_sql) is exercised by scripts/driver_check.py /
+the driver's CORRECTNESS gate via the dedup_distinct_estimate query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import metrics as M
+from imdedup_plus_spark import signatures as S
+from imdedup_plus_spark.config import KMV_EST_K, SCALE_CONFIG
+from imdedup_plus_spark.config import REFERENCE_CONFIG as CFG
+
+
+@pytest.fixture(scope="module")
+def sig_df(spark, fixture_corpus):
+    v = S.valid_documents(fixture_corpus.select("url", "text", "lang"), CFG)
+    return S.with_signature(v, CFG).select("url", "shingle_set").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_distinct(sig_df) -> int:
+    return (
+        sig_df.select(F.explode("shingle_set").alias("s")).distinct().count()
+    )
+
+
+def test_estimate_accuracy(sig_df, exact_distinct):
+    row = M.distinct_shingle_estimate(sig_df).collect()[0]
+    assert row.n_docs == sig_df.count()
+    n_doc_shingles = sig_df.agg(
+        F.sum(F.size("shingle_set"))
+    ).collect()[0][0]
+    assert row.n_doc_shingles == n_doc_shingles
+    if row.kmv_k < KMV_EST_K:
+        # sketch not full: the estimate IS the exact distinct count
+        assert row.est_distinct == exact_distinct
+    else:
+        # full sketch: ~1/sqrt(k) stderr; 15% is a 5-sigma envelope
+        assert abs(row.est_distinct - exact_distinct) <= 0.15 * exact_distinct
+    # ratio recomputed from the row's own integers
+    expected_ratio = round(1.0 - row.est_distinct / n_doc_shingles, 6)
+    assert row.dup_shingle_ratio == pytest.approx(expected_ratio, abs=1e-9)
+
+
+def test_oversized_k_degrades_to_exact(sig_df, exact_distinct):
+    row = M.distinct_shingle_estimate(sig_df, k=10_000_000).collect()[0]
+    assert row.kmv_k == exact_distinct
+    assert row.est_distinct == exact_distinct
+
+
+def test_kernel_parity_array_sets(sig_df):
+    ref = M.distinct_shingle_estimate(sig_df).collect()
+    ker = M.distinct_shingle_estimate_kernel(sig_df).collect()
+    assert [tuple(r) for r in ref] == [tuple(r) for r in ker]
+
+
+def test_kernel_parity_binary_sets(spark, fixture_corpus, sig_df):
+    # the Arrow signature kernel emits packed little-endian int32 BINARY
+    # sets; REFERENCE_CONFIG (verify_sketch_k=0) keeps them untruncated
+    ksig = S.signature_kernel_arrow(
+        fixture_corpus.select("url", "text", "lang"), CFG, "url"
+    ).select("url", "shingle_set")
+    ref = M.distinct_shingle_estimate(sig_df).collect()
+    ker = M.distinct_shingle_estimate_kernel(ksig).collect()
+    assert [tuple(r) for r in ref] == [tuple(r) for r in ker]
+
+
+def test_full_sketch_branch(spark):
+    # 300 docs x 40 disjoint shingles = 12,000 distinct >> k=1024: forces
+    # the (k-1)*P div (kth+1) estimator path with a known exact answer
+    df = spark.range(300).select(
+        F.col("id").cast("string").alias("url"),
+        F.expr(
+            "transform(sequence(id * 40, id * 40 + 39), x -> CAST(x * 104729 % 2147483648 AS INT))"
+        ).alias("shingle_set"),
+    )
+    row = M.distinct_shingle_estimate(df).collect()[0]
+    assert row.kmv_k == KMV_EST_K
+    exact = 300 * 40
+    assert abs(row.est_distinct - exact) <= 0.15 * exact
+    ker = M.distinct_shingle_estimate_kernel(df).collect()[0]
+    assert tuple(row) == tuple(ker)
+
+
+def test_truncated_sets_refused(spark, fixture_corpus):
+    # SCALE_CONFIG truncates shingle_set to the per-doc KMV bottom-64 —
+    # a biased sample under the spreading permutation; must refuse loudly
+    tsig = S.signature_kernel_arrow(
+        fixture_corpus.select("url", "text", "lang"), SCALE_CONFIG, "url"
+    )
+    assert "n_set_true" in tsig.columns
+    with pytest.raises(Exception, match="KMV-truncated"):
+        M.distinct_shingle_estimate_kernel(tsig).collect()
