@@ -955,8 +955,12 @@ def compact_state_store(
 
     retired = _retired_view(spark, state_dir)
     if retired is None:
-        return {"n_removed_versions": 0}
+        return {"n_superseded_ids": 0}
     done = processed_epochs(state_dir)
+    # distinct ids with at least one dead version (the retired view is a
+    # per-id watermark); the number of REMOVED VERSION ROWS is the sum of
+    # per-epoch manifest n_retired counts, >= this when an id was
+    # superseded in several epochs
     n_removed = retired.count()
 
     def _sweep(store: str, keep: set[tuple], levels: list[str]) -> None:
@@ -1050,7 +1054,7 @@ def compact_state_store(
     _sweep(deltas_store, _keep_set(live_deltas, ["epoch", "bh_part"]), ["epoch", "bh_part"])
     _sweep(pairs_store, keep_pairs, ["epoch"])
     shutil.rmtree(f"{state_dir}/retired", ignore_errors=True)
-    return {"n_removed_versions": n_removed}
+    return {"n_superseded_ids": n_removed}
 
 
 def windowed_event_counts(

@@ -161,7 +161,7 @@ def test_compact_state_store(spark, fixture_corpus, tmp_path):
     }
     n_recrawled = recrawl1.count()
     stats = ST.compact_state_store(spark, state, "url")
-    assert stats["n_removed_versions"] == n_recrawled
+    assert stats["n_superseded_ids"] == n_recrawled
     import os
 
     assert not os.path.exists(f"{state}/retired")
@@ -184,7 +184,7 @@ def test_compact_state_store(spark, fixture_corpus, tmp_path):
     assert spark.read.parquet(f"{state}/bands").count() == live_bands.count()
     # idempotent: nothing left to remove
     assert ST.compact_state_store(spark, state, "url") == {
-        "n_removed_versions": 0
+        "n_superseded_ids": 0
     }
 
     # subsequent epoch: compacted store == uncompacted control
