@@ -107,6 +107,7 @@ _QUERY_ORDER = [
     "dedup_candidate_pairs_hotwin", "dedup_verified_pairs",
     "dedup_best_base", "dedup_unique_docs", "dedup_clusters",
     "dedup_incremental_clusters", "dedup_global_metrics",
+    "dedup_distinct_estimate",
     # stage 2: spans + restore
     "dedup_spans", "dedup_span_summary", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
@@ -124,7 +125,6 @@ _QUERY_ORDER = [
     "dedup_cdc_chunks", "dedup_cdc_shared_chunks",
     # embeddings / ANN
     "emb_cosine_topk", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
-    "emb_ivf_cells",
     # relational / temporal / streaming (ALL inside the window — round-2's
     # last 5 were never driver-checked)
     "tpch_pricing_summary", "tpch_top_orders_per_segment",
@@ -137,7 +137,9 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
     "dedup_similarity_histogram", "dedup_gear_chunks",
-    "dedup_distinct_estimate",
+    # emb_ivf_cells: observability projection of the IVF codebook; the IVF
+    # lane's official row is emb_ivf_ann_topk (in the window)
+    "emb_ivf_cells",
 ]
 
 
