@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
+from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
 from imdedup_plus_spark.session import get_spark
@@ -102,6 +103,7 @@ def main() -> None:
         ("extract_byte_spans (two id joins attach payload hex; shuffle-free mapInPandas kernel)", BD.extract_byte_spans(BD.pair_payloads(pairs.select("id_a", "id_b"), docs, "doc_id"), cfg)),
         ("update_clusters (incremental fold: BroadcastHashJoin relabels the assignment — no corpus exchange; quotient CC is checkpoint-isolated upstream)", inc),
         ("verify_pairs_kernel over the BUCKETED signature store (the stable wide side is never reshuffled: its scans expose the bucket HashPartitioning, Exchanges remain only on the pair side)", ver_b),
+        ("distinct_shingle_estimate_kernel (KMV: mapInPandas bottom-k partials — <=k rows per chunk — then the only exchange is over the tiny partial set; the shingle universe is never shuffled)", M.distinct_shingle_estimate_kernel(sig_k)),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
