@@ -89,10 +89,8 @@ def _kmv_set_size(sig_df: DataFrame):
     return F.size("shingle_set")
 
 
-def _kmv_finalize(sig_df: DataFrame, bot: DataFrame, k: int) -> DataFrame:
-    """Fold the bottom-k sketch + corpus totals into the one-row estimate."""
-    from .config import PERM_P
-
+def _kmv_totals(sig_df: DataFrame) -> DataFrame:
+    """One row ``(n_docs, n_doc_shingles, _trunc)`` over a signature frame."""
     set_sz = _kmv_set_size(sig_df)
     # the estimator is only meaningful over UNTRUNCATED shingle sets: a
     # per-doc KMV bottom-64 set (SCALE_CONFIG kernel output) keeps the
@@ -102,11 +100,19 @@ def _kmv_finalize(sig_df: DataFrame, bot: DataFrame, k: int) -> DataFrame:
         F.max(F.col("n_set_true") - set_sz) if "n_set_true" in sig_df.columns
         else F.lit(0)
     )
-    totals = sig_df.agg(
+    return sig_df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(set_sz.cast("long")).alias("n_doc_shingles"),
-        trunc.alias("_trunc"),
+        trunc.cast("int").alias("_trunc"),
     )
+
+
+def _kmv_assemble(totals: DataFrame, bot: DataFrame, k: int) -> DataFrame:
+    """Fold a bottom-k sketch + a ``_kmv_totals``-shaped row into the
+    one-row estimate (shared by the batch forms and the streaming-state
+    reader)."""
+    from .config import PERM_P
+
     sketch = bot.agg(
         F.count(F.lit(1)).cast("long").alias("kmv_k"),
         F.max("h").cast("long").alias("kth_hash"),
@@ -163,23 +169,17 @@ def distinct_shingle_estimate(sig_df: DataFrame, k: int | None = None) -> DataFr
         .orderBy("h")
         .limit(k)
     )
-    return _kmv_finalize(sig_df, bot, k)
+    return _kmv_assemble(_kmv_totals(sig_df), bot, k)
 
 
-def distinct_shingle_estimate_kernel(sig_df: DataFrame, k: int | None = None) -> DataFrame:
-    """SCALE form: per-chunk numpy bottom-k partials, then an exact merge.
-
-    ``mapInPandas`` emits at most k candidate hashes per 1024-row chunk
-    (cache-resident, per the measured chunking rule in
-    scripts/bench_verify_forms.py), so the merge input is ~``n_chunks * k``
-    rows — the full shingle universe is never shuffled or distinct-ed.
-    Correct by the KMV union property: any global bottom-k member is a
-    bottom-k member of its own chunk. Bit-identical to
-    :func:`distinct_shingle_estimate` (tests/test_kmv.py parity).
-
-    Accepts ``shingle_set`` as ``ARRAY<INT>`` (SQL path) or packed
-    little-endian int32 ``BINARY`` (kernel path) — untruncated only.
-    """
+def kmv_bottomk_kernel(sig_df: DataFrame, k: int | None = None) -> DataFrame:
+    """The bottom-k sketch itself: ``<=k`` rows ``(h BIGINT)``, ascending
+    semantics (unordered rows). Per-chunk numpy partials merged exactly —
+    see :func:`distinct_shingle_estimate_kernel`. KMV sketches are
+    mergeable (bottom-k of a union == bottom-k of the union of per-part
+    bottom-k's), so this frame is also the unit the streaming state
+    persists per epoch (``streaming.incremental_dedup_batch
+    track_distinct=True``)."""
     from .config import KMV_EST_A, KMV_EST_B, KMV_EST_K, PERM_P
 
     k = KMV_EST_K if k is None else k
@@ -208,14 +208,33 @@ def distinct_shingle_estimate_kernel(sig_df: DataFrame, k: int | None = None) ->
                 merged = np.unique(np.concatenate(outs))[:k]
                 yield pd.DataFrame({"h": merged})
 
-    bot = (
+    return (
         sig_df.select("shingle_set")
         .mapInPandas(part, "h long")
         .distinct()
         .orderBy("h")
         .limit(k)
     )
-    return _kmv_finalize(sig_df, bot, k)
+
+
+def distinct_shingle_estimate_kernel(sig_df: DataFrame, k: int | None = None) -> DataFrame:
+    """SCALE form: per-chunk numpy bottom-k partials, then an exact merge.
+
+    ``mapInPandas`` emits at most k candidate hashes per 1024-row chunk
+    (cache-resident, per the measured chunking rule in
+    scripts/bench_verify_forms.py), so the merge input is ~``n_chunks * k``
+    rows — the full shingle universe is never shuffled or distinct-ed.
+    Correct by the KMV union property: any global bottom-k member is a
+    bottom-k member of its own chunk. Bit-identical to
+    :func:`distinct_shingle_estimate` (tests/test_kmv.py parity).
+
+    Accepts ``shingle_set`` as ``ARRAY<INT>`` (SQL path) or packed
+    little-endian int32 ``BINARY`` (kernel path) — untruncated only.
+    """
+    from .config import KMV_EST_K
+
+    k = KMV_EST_K if k is None else k
+    return _kmv_assemble(_kmv_totals(sig_df), kmv_bottomk_kernel(sig_df, k), k)
 
 
 def dedup_ratio(span_sum: DataFrame) -> DataFrame:

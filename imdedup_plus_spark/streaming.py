@@ -267,6 +267,7 @@ def incremental_dedup_batch(
     epoch_id: int | None = None,
     n_parts: int = DEFAULT_N_PARTS,
     supersede: bool = False,
+    track_distinct: bool = False,
 ) -> None:
     """One micro-batch of the insert+probe loop (callable directly or from
     ``foreachBatch``): sketch new docs, probe the band store, verify, and
@@ -280,8 +281,26 @@ def incremental_dedup_batch(
     * ``pairs/``        partitioned (epoch) — the output
     * ``retired/``      partitioned (epoch, id_part) — tombstones: ids
       whose pre-existing version this epoch superseded (recrawls)
+    * ``distinct_sketch/`` partitioned (epoch), only with
+      ``track_distinct=True`` — the batch's KMV bottom-k shingle sketch
+      (``metrics.kmv_bottomk_kernel``; <= KMV_EST_K rows of ``h``).
+      KMV sketches merge exactly (bottom-k of a union == bottom-k of
+      the union of bottom-k's), so ``read_distinct_estimate`` folds all
+      epochs into the same row the batch estimator would produce over
+      the full ingested corpus — bit-exact, O(k) per epoch. Semantics
+      are union-over-INGESTED versions: supersede retirement does not
+      subtract (KMV sketches are not deletable), so the estimate reads
+      "distinct shingles ever crawled", and ``compact_state_store``
+      leaves it untouched. Cost when ``cfg.verify_sketch_k > 0``: the
+      stored sets are per-doc-truncated (biased under the spreading
+      permutation), so the sketch is computed from one extra
+      untruncated signature pass over the batch (narrow, no shuffle;
+      fusing it into the signature kernel is the zero-cost variant a
+      production build would pick)
     * ``_epochs/``      one manifest json per committed epoch, written
       LAST — the write-ahead ordering that makes a clean replay a no-op
+      (with ``track_distinct`` it also carries the batch's valid-doc and
+      shingle-volume totals for the estimate's denominator)
 
     ``supersede=True`` is the recrawl-aware mode (the Common-Crawl shape:
     ``id_col`` is the canonical URL and a page can arrive again with new
@@ -328,7 +347,11 @@ def incremental_dedup_batch(
     deltas_store = f"{state_dir}/bucket_deltas"
     pairs_store = f"{state_dir}/pairs"
     retired_store = f"{state_dir}/retired"
-    stores = (pairs_store, bands_store, deltas_store, sig_store, retired_store)
+    sketch_store = f"{state_dir}/distinct_sketch"
+    stores = (
+        pairs_store, bands_store, deltas_store, sig_store, retired_store,
+        sketch_store,
+    )
 
     if epoch_id is None:
         done = processed_epochs(state_dir)
@@ -503,6 +526,33 @@ def incremental_dedup_batch(
         sig_store,
         ["epoch", "id_part"],
     )
+    sketch_stats = None
+    if track_distinct:
+        import dataclasses as _dc
+
+        from . import metrics as M
+
+        sig_sk = (
+            sig_new
+            if cfg.verify_sketch_k == 0
+            else S.signature_kernel_arrow(
+                batch_df, _dc.replace(cfg, verify_sketch_k=0), id_col
+            )
+        )
+        _dyn_overwrite(
+            M.kmv_bottomk_kernel(sig_sk).withColumn("epoch", F.lit(epoch_id)),
+            sketch_store,
+            ["epoch"],
+        )
+        t = M._kmv_totals(sig_sk).collect()[0]
+        from .config import KMV_EST_K
+
+        sketch_stats = {
+            "k": KMV_EST_K,
+            "n_docs": int(t["n_docs"]),
+            "n_doc_shingles": int(t["n_doc_shingles"] or 0),
+        }
+
     n_retired = 0
     if retired_new is not None:
         n_retired = retired_new.count()
@@ -523,6 +573,7 @@ def incremental_dedup_batch(
                 "batch_fp": batch_fp,
                 "touched_bh_parts": sorted(touched),
                 "n_retired": n_retired,
+                **({"sketch": sketch_stats} if sketch_stats else {}),
             },
             fh,
         )
@@ -539,6 +590,7 @@ def run_incremental_stream(
     max_files_per_trigger: int | None = None,
     n_parts: int = DEFAULT_N_PARTS,
     supersede: bool = False,
+    track_distinct: bool = False,
 ) -> None:
     """Drain all currently-available files under ``input_dir`` through the
     incremental loop (``Trigger.AvailableNow``) and stop. Re-invoking after
@@ -559,7 +611,7 @@ def run_incremental_stream(
             return
         incremental_dedup_batch(
             batch_df, state_dir, cfg, id_col, epoch_id=epoch, n_parts=n_parts,
-            supersede=supersede,
+            supersede=supersede, track_distinct=track_distinct,
         )
 
     q = (
@@ -912,6 +964,66 @@ def read_pairs(
                     .drop(f"__r_{side}__", f"__re_{side}__")
                 )
     return pairs.drop("epoch")
+
+
+def read_distinct_estimate(
+    spark: SparkSession, state_dir: str, k: int | None = None
+) -> DataFrame:
+    """Fold every committed epoch's KMV sketch into the one-row distinct-
+    shingle estimate — the same schema as
+    ``metrics.distinct_shingle_estimate`` and, by the KMV union property,
+    the IDENTICAL row the batch estimator would produce over all ingested
+    documents (tests/test_kmv.py asserts bit-equality). O(k) rows read per
+    epoch; the corpus is never touched.
+
+    Semantics are union-over-ingested versions (see
+    ``incremental_dedup_batch`` ``track_distinct``): identical-content
+    recrawls add totals volume but no new distinct shingles; retirement
+    never subtracts. Requires every committed epoch to have been ingested
+    with ``track_distinct=True`` (else the union would silently
+    undercount — raises instead) and with a sketch width >= ``k``."""
+    import json
+
+    from . import metrics as M
+    from .config import KMV_EST_K
+
+    k = KMV_EST_K if k is None else k
+    done = processed_epochs(state_dir)
+    store = f"{state_dir}/distinct_sketch"
+    if not done or not _store_exists(spark, store):
+        raise ValueError(f"no committed distinct_sketch state under {state_dir}")
+    n_docs = 0
+    n_doc_shingles = 0
+    for e in done:
+        with open(_epoch_manifest(state_dir, e)) as fh:
+            man = json.load(fh)
+        sk = man.get("sketch")
+        if sk is None:
+            raise ValueError(
+                f"epoch {e} was committed without track_distinct: the "
+                "union sketch would undercount — re-ingest with "
+                "track_distinct=True"
+            )
+        if sk["k"] < k:
+            raise ValueError(
+                f"epoch {e} sketch width {sk['k']} < requested k={k}: "
+                "a narrower stored sketch cannot answer a wider bottom-k"
+            )
+        n_docs += sk["n_docs"]
+        n_doc_shingles += sk["n_doc_shingles"]
+    bot = (
+        spark.read.parquet(store)
+        .where(F.col("epoch").isin(done))
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    totals = spark.createDataFrame(
+        [(n_docs, n_doc_shingles, 0)],
+        "n_docs long, n_doc_shingles long, _trunc int",
+    )
+    return M._kmv_assemble(totals, bot, k)
 
 
 def compact_state_store(

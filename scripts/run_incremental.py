@@ -79,6 +79,13 @@ def main() -> int:
         "bands/signatures/deltas/pairs and drop the tombstones (the "
         "Iceberg rewrite_data_files analog; run with no stream in flight)",
     )
+    ap.add_argument(
+        "--track-distinct", action="store_true",
+        help="persist a per-epoch KMV bottom-k distinct-shingle sketch "
+        "(distinct_sketch/ under --state); fold with "
+        "streaming.read_distinct_estimate — O(k) per epoch, exact KMV "
+        "union merge",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -112,6 +119,7 @@ def main() -> int:
         schema=args.schema,
         max_files_per_trigger=args.max_files_per_trigger,
         supersede=args.supersede,
+        track_distinct=args.track_distinct,
     )
     try:
         n_pairs = ST.read_pairs(
@@ -120,6 +128,9 @@ def main() -> int:
     except Exception:
         n_pairs = 0
     out = {"state": args.state, "total_verified_pairs": n_pairs}
+    if args.track_distinct:
+        est = ST.read_distinct_estimate(spark, args.state).collect()[0]
+        out["distinct_estimate"] = est.asDict()
     if args.compact_state:
         out["compact_state"] = ST.compact_state_store(
             spark, args.state, args.id_col

@@ -90,6 +90,80 @@ def test_full_sketch_branch(spark):
     assert tuple(row) == tuple(ker)
 
 
+def test_streaming_sketch_union_is_exact(spark, fixture_corpus, tmp_path):
+    """Per-epoch KMV sketches folded by read_distinct_estimate must equal
+    the one-shot batch estimate over everything ingested — bit-exact (the
+    KMV union property), including under identical-content recrawls."""
+    import dataclasses
+
+    from imdedup_plus_spark import streaming as ST
+    from imdedup_plus_spark.config import SCALE_CONFIG
+
+    state = str(tmp_path / "state")
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    b = F.crc32("url") % 3
+    for e in range(3):
+        ST.incremental_dedup_batch(
+            docs.where(b == e), state, SCALE_CONFIG, "url",
+            epoch_id=e, track_distinct=True, supersede=True,
+        )
+    inc = ST.read_distinct_estimate(spark, state).collect()
+
+    # batch estimator over the full corpus, untruncated sets (the same
+    # config the track_distinct re-pass uses inside the loop)
+    ucfg = dataclasses.replace(SCALE_CONFIG, verify_sketch_k=0)
+    batch = M.distinct_shingle_estimate_kernel(
+        S.signature_kernel_arrow(docs, ucfg, "url")
+    ).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in batch]
+
+    # clean replay of a committed epoch: no-op, estimate unchanged
+    ST.incremental_dedup_batch(
+        docs.where(b == 1), state, SCALE_CONFIG, "url",
+        epoch_id=1, track_distinct=True, supersede=True,
+    )
+    assert [tuple(r) for r in ST.read_distinct_estimate(spark, state).collect()] == [
+        tuple(r) for r in batch
+    ]
+
+    # identical-content recrawl wave (supersede): totals grow by the
+    # recrawled volume, but the distinct universe — and therefore
+    # est_distinct / kth_hash / kmv_k — is unchanged
+    wave0 = docs.where(b == 0)
+    ST.incremental_dedup_batch(
+        wave0, state, SCALE_CONFIG, "url",
+        epoch_id=3, track_distinct=True, supersede=True,
+    )
+    after = ST.read_distinct_estimate(spark, state).collect()[0]
+    before = batch[0]
+    w0 = M._kmv_totals(
+        S.signature_kernel_arrow(wave0, ucfg, "url")
+    ).collect()[0]
+    assert after.n_docs == before.n_docs + w0.n_docs
+    assert after.n_doc_shingles == before.n_doc_shingles + w0.n_doc_shingles
+    assert (after.kmv_k, after.kth_hash, after.est_distinct) == (
+        before.kmv_k, before.kth_hash, before.est_distinct
+    )
+
+
+def test_sketchless_epoch_refused(spark, fixture_corpus, tmp_path):
+    from imdedup_plus_spark import streaming as ST
+    from imdedup_plus_spark.config import SCALE_CONFIG
+
+    state = str(tmp_path / "state")
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    b = F.crc32("url") % 3
+    ST.incremental_dedup_batch(
+        docs.where(b == 0), state, SCALE_CONFIG, "url",
+        epoch_id=0, track_distinct=True,
+    )
+    ST.incremental_dedup_batch(
+        docs.where(b == 1), state, SCALE_CONFIG, "url", epoch_id=1
+    )
+    with pytest.raises(ValueError, match="without track_distinct"):
+        ST.read_distinct_estimate(spark, state)
+
+
 def test_truncated_sets_refused(spark, fixture_corpus):
     # SCALE_CONFIG truncates shingle_set to the per-doc KMV bottom-64 —
     # a biased sample under the spreading permutation; must refuse loudly
