@@ -140,6 +140,9 @@ _QUERY_ORDER = [
     # emb_ivf_cells: observability projection of the IVF codebook; the IVF
     # lane's official row is emb_ivf_ann_topk (in the window)
     "emb_ivf_cells",
+    # web_domain_dup_stats: observability fold of dedup_verified_pairs
+    # (checked in-window) through weburl.domain_of
+    "web_domain_dup_stats",
 ]
 
 
@@ -570,6 +573,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_recrawl_dedup"] = _recrawl
 
+    # --- cross-domain duplication matrix (mirror detection): verified
+    #     near-dup pairs bucketed by the (host_a, host_b) of their synthetic
+    #     URLs — the per-domain observability a Common-Crawl operator reads
+    #     to find mirrored sites; composes weburl.domain_of with the
+    #     pipeline's verified stage ---
+    def _domain_dup(spark, sf):
+        docs = _docs(spark, sf)
+        dom = docs.select(
+            ID, WU.domain_of(F.expr(_SYNTH_URL_SQL)).alias("dm")
+        )
+        ver = _verified(spark, sf).select("id_a", "id_b")
+        da = dom.select(F.col(ID).alias("id_a"), F.col("dm").alias("da"))
+        db = dom.select(F.col(ID).alias("id_b"), F.col("dm").alias("db"))
+        return (
+            ver.join(da, "id_a")
+            .join(db, "id_b")
+            .select(
+                F.least("da", "db").alias("domain_a"),
+                F.greatest("da", "db").alias("domain_b"),
+            )
+            .groupBy("domain_a", "domain_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn(
+                "intra", (F.col("domain_a") == F.col("domain_b")).cast("int")
+            )
+        )
+
+    q["web_domain_dup_stats"] = _domain_dup
+
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
         sorted(set(q) ^ set(_QUERY_ORDER))
@@ -637,6 +669,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_verified_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands, n_eq, inter, un FROM verified"
+        ),
+        "web_domain_dup_stats": sq(
+            f""", dom AS (
+              SELECT {ID} AS did,
+                     {WU.domain_sql(_SYNTH_URL_SQL)} AS dm
+              FROM documents
+            )
+            SELECT domain_a, domain_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(domain_a = domain_b AS INT) AS intra
+            FROM (
+              SELECT least(a.dm, b.dm) AS domain_a,
+                     greatest(a.dm, b.dm) AS domain_b
+              FROM verified v
+              JOIN dom a ON a.did = v.id_a
+              JOIN dom b ON b.did = v.id_b
+            )
+            GROUP BY 1, 2"""
         ),
         "dedup_best_base": sq(
             "SELECT id_b AS target_id, id_a AS base_id, n_matching_bands, n_eq FROM ("

@@ -107,3 +107,19 @@ def latest_revision(
     return ranked.where(F.col("rn") == 1).select(
         "canonical_url", "n_revisions", "first_ts", "last_ts", *keep
     )
+
+
+def domain_of(col: Column | str) -> Column:
+    """Host extraction over the CANONICAL form: ``canonicalize_url``
+    already stripped scheme/``www.``/default ports/fragments, so the
+    host is the prefix before the first ``/`` (non-default ports remain
+    part of the token — deliberate, they address distinct origins). An
+    approximation of the registrable domain without a public-suffix
+    list; the rule-table discipline applies (``domain_sql`` compiles the
+    identical expression for DuckDB)."""
+    return F.split_part(canonicalize_url(col), F.lit("/"), F.lit(1))
+
+
+def domain_sql(expr: str) -> str:
+    """DuckDB compiler for the SAME host extraction."""
+    return f"split_part({canonicalize_sql(expr)}, '/', 1)"

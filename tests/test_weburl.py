@@ -186,3 +186,34 @@ def test_latest_revision_partitioning_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     # 5*7 = 35 canonical pages, each crawled ~6x
     assert a.count() == 35
+
+
+# url -> expected host token (through the canonical form)
+DOMAIN_CASES = [
+    ("https://Site01.Example/Page/7", "site01.example"),
+    ("http://www.site01.example/page/7/", "site01.example"),
+    ("https://site01.example:443/page/7", "site01.example"),
+    ("https://s.example:8080/p", "s.example:8080"),  # non-default port kept
+    ("https://s.example", "s.example"),              # no path at all
+    ("https://s.example/?utm_a=1", "s.example"),
+    ("http://www.s.example#frag", "s.example"),
+]
+
+
+def test_domain_parity_spark_duckdb(spark):
+    df = spark.createDataFrame([(u,) for u, _ in DOMAIN_CASES], "url string")
+    got = [
+        r["d"] for r in df.select(W.domain_of("url").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in DOMAIN_CASES])
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {W.domain_sql('url')} FROM t"
+        ).fetchall()
+    ]
+    exp = [e for _, e in DOMAIN_CASES]
+    assert got == exp
+    assert duck == exp
