@@ -533,11 +533,11 @@ def incremental_dedup_batch(
         from . import metrics as M
 
         sig_sk = (
-            sig_new
+            sig_new  # already checkpointed above
             if cfg.verify_sketch_k == 0
             else S.signature_kernel_arrow(
                 batch_df, _dc.replace(cfg, verify_sketch_k=0), id_col
-            )
+            ).localCheckpoint(eager=True)  # compute once: sketch AND totals
         )
         _dyn_overwrite(
             M.kmv_bottomk_kernel(sig_sk).withColumn("epoch", F.lit(epoch_id)),
