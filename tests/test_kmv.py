@@ -90,6 +90,37 @@ def test_full_sketch_branch(spark):
     assert tuple(row) == tuple(ker)
 
 
+def test_kmv_merge_property():
+    """The mergeability law the streaming store relies on, as a pure-numpy
+    hypothesis property: bottom-k of a union == bottom-k of the union of
+    per-part bottom-k's — for any split of any multiset."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from imdedup_plus_spark.config import KMV_EST_A, KMV_EST_B, PERM_P
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 2**31 - 1), max_size=400),
+        st.lists(st.integers(0, 2**31 - 1), max_size=400),
+        st.integers(1, 64),
+    )
+    def law(xs, ys, k):
+        h = lambda a: np.unique(
+            (KMV_EST_A * np.asarray(a, dtype=np.int64) + KMV_EST_B) % PERM_P
+        )
+        direct = np.unique(np.concatenate([h(xs + ys)]))[:k] if xs + ys else np.array([])
+        merged = (
+            np.unique(np.concatenate([h(xs)[:k], h(ys)[:k]]))[:k]
+            if xs or ys
+            else np.array([])
+        )
+        assert direct.tolist() == merged.tolist()
+
+    law()
+
+
 def test_streaming_sketch_union_is_exact(spark, fixture_corpus, tmp_path):
     """Per-epoch KMV sketches folded by read_distinct_estimate must equal
     the one-shot batch estimate over everything ingested — bit-exact (the
