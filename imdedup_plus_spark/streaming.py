@@ -417,8 +417,11 @@ def incremental_dedup_batch(
         # to the batch, minus versions already retired earlier. The scan
         # projects ONLY (id, sig, epoch) — the minhash array is all band
         # re-derivation needs (negative deltas count rows; n_set is never
-        # used), so the heavy shingle_set column is column-pruned away and
-        # the per-epoch supersede probe reads ~a tenth of the store bytes.
+        # used), so the heavy shingle_set column is column-pruned away:
+        # measured on a SCALE_CONFIG store, (id, sig) is ~20% of the
+        # parquet bytes (shingle_set alone 79%, KMV bottom-64 truncated;
+        # untruncated stores skew further), so the supersede probe reads
+        # ~a fifth of what an unpruned scan would.
         # On a bucketed/Iceberg layout (bucketing.py) the same lookup is a
         # bucket-local sorted probe instead of a scan.
         bid_parts = [
