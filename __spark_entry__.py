@@ -143,6 +143,9 @@ _QUERY_ORDER = [
     # web_domain_dup_stats: observability fold of dedup_verified_pairs
     # (checked in-window) through weburl.domain_of
     "web_domain_dup_stats",
+    # dedup_cluster_keepers: fold of dedup_clusters (checked in-window)
+    # + text_quality_score (checked in-window)
+    "dedup_cluster_keepers",
 ]
 
 
@@ -602,6 +605,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_dup_stats"] = _domain_dup
 
+    # --- keeper selection: which doc survives each dup cluster. The
+    #     reference keeps the delta BASE (best_base); a training-data
+    #     pipeline keeps the highest-QUALITY member — argmax(quality,
+    #     tie id) per cluster, every doc flagged keep/drop so the
+    #     delete-list is the keep=0 projection ---
+    def _keepers(spark, sf):
+        from pyspark.sql import Window
+
+        cl = _clusters(spark, sf)
+        ql = T.quality_score(_docs(spark, sf), ID).select(
+            ID, "quality_permille"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_permille").desc(), F.col(ID).asc()
+        )
+        return (
+            cl.join(ql, ID)
+            .withColumn(
+                "keep", (F.row_number().over(w) == 1).cast("int")
+            )
+            .select(ID, "cluster_id", "quality_permille", "keep")
+        )
+
+    q["dedup_cluster_keepers"] = _keepers
+
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
         sorted(set(q) ^ set(_QUERY_ORDER))
@@ -612,6 +640,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+
+def _keepers_oracle_tail() -> str:
+    """Keeper-selection CTEs appended to the pipeline chain: the SAME
+    quality_permille arithmetic as textfns.quality_score_sql (can't embed
+    that builder's standalone WITH here), windowed over the clusters CTE."""
+    from imdedup_plus_spark.textfns import STOPWORDS, _inlist
+
+    toks = oracle.tokens_sql("text")
+    all_stop = _inlist(tuple(w for ws in STOPWORDS.values() for w in ws))
+    qp = (
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE CAST(least(1000, "
+        "floor(500.0 * n_stopwords / n_tokens) + CASE WHEN n_tokens >= 50 "
+        "THEN 500 ELSE floor(10.0 * n_tokens) END) AS BIGINT) END"
+    )
+    return f""", qf AS (
+  SELECT {ID} AS qid,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({toks}, t -> t IN ({all_stop}))) AS BIGINT) AS n_stopwords
+  FROM documents
+), qq AS (SELECT qid, {qp} AS quality_permille FROM qf)
+SELECT c.id AS doc_id, c.cluster_id, q.quality_permille,
+       CAST(row_number() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY q.quality_permille DESC, c.id ASC) = 1 AS INT) AS keep
+FROM clusters c JOIN qq q ON q.qid = c.id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -697,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT id_a FROM verified UNION SELECT id_b FROM verified)"
         ),
         "dedup_clusters": sq("SELECT id AS doc_id, cluster_id FROM clusters"),
+        "dedup_cluster_keepers": sq(_keepers_oracle_tail()),
         # incremental maintenance must reproduce the full-batch assignment
         # exactly — same oracle as dedup_clusters, by design
         "dedup_incremental_clusters": sq(
