@@ -109,7 +109,7 @@ _QUERY_ORDER = [
     "dedup_incremental_clusters", "dedup_global_metrics",
     "dedup_distinct_estimate",
     # stage 2: spans + restore
-    "dedup_spans", "dedup_span_summary", "dedup_roundtrip_check",
+    "dedup_spans", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
     # exact-dup prepass + web/text analysis
     "web_recrawl_dedup",
@@ -122,7 +122,15 @@ _QUERY_ORDER = [
     "mm_jpeg_ycbcr_stats", "dedup_jpeg_dct_signatures",
     "dedup_jpeg_dct_pairs", "mm_wav_features",
     # chunking
-    "dedup_cdc_chunks", "dedup_cdc_shared_chunks",
+    "dedup_cdc_chunks",
+    # web mirror matrix + cluster keeper selection — rotated INTO the
+    # 50-window in round 4 (the only two operators never officially
+    # checked through round 3; VERDICT r03 next-round #1). The two slots
+    # came from dedup_span_summary (a groupBy fold of the checked
+    # dedup_spans) and dedup_cdc_shared_chunks (a fold of the checked
+    # dedup_cdc_chunks), now in the tail. Rotation ledger:
+    # BENCH/BASELINE.md §rotation.
+    "web_domain_dup_stats", "dedup_cluster_keepers",
     # embeddings / ANN
     "emb_cosine_topk", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
     # relational / temporal / streaming (ALL inside the window — round-2's
@@ -140,12 +148,12 @@ _QUERY_ORDER = [
     # emb_ivf_cells: observability projection of the IVF codebook; the IVF
     # lane's official row is emb_ivf_ann_topk (in the window)
     "emb_ivf_cells",
-    # web_domain_dup_stats: observability fold of dedup_verified_pairs
-    # (checked in-window) through weburl.domain_of
-    "web_domain_dup_stats",
-    # dedup_cluster_keepers: fold of dedup_clusters (checked in-window)
-    # + text_quality_score (checked in-window)
-    "dedup_cluster_keepers",
+    # dedup_span_summary: groupBy fold of dedup_spans (checked in-window);
+    # r03-official-green, rotated out in round 4 for the two above
+    "dedup_span_summary",
+    # dedup_cdc_shared_chunks: fold of dedup_cdc_chunks (checked
+    # in-window); r03-official-green, rotated out in round 4
+    "dedup_cdc_shared_chunks",
 ]
 
 
@@ -611,22 +619,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     tie id) per cluster, every doc flagged keep/drop so the
     #     delete-list is the keep=0 projection ---
     def _keepers(spark, sf):
-        from pyspark.sql import Window
-
         cl = _clusters(spark, sf)
         ql = T.quality_score(_docs(spark, sf), ID).select(
             ID, "quality_permille"
         )
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.col("quality_permille").desc(), F.col(ID).asc()
-        )
-        return (
-            cl.join(ql, ID)
-            .withColumn(
-                "keep", (F.row_number().over(w) == 1).cast("int")
-            )
-            .select(ID, "cluster_id", "quality_permille", "keep")
-        )
+        # scale-shaped: groupBy.agg(max_by) + shuffle-hash join-back, no
+        # per-cluster window sort (see clustering.cluster_keepers docstring
+        # + PLANS.md for the mega-cluster skew argument)
+        return CL.cluster_keepers(cl.join(ql, ID), ID)
 
     q["dedup_cluster_keepers"] = _keepers
 

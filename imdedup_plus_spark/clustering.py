@@ -258,6 +258,64 @@ def cluster_sizes(clusters: DataFrame) -> DataFrame:
     )
 
 
+def cluster_keepers(
+    members: DataFrame,
+    id_col: str,
+    quality_col: str = "quality_permille",
+    broadcast_keepers: bool = False,
+) -> DataFrame:
+    """Flag the SURVIVOR of each dup cluster: argmax(quality desc, id asc)
+    per cluster_id, every member row emitted with a keep/drop flag (the
+    delete-list a training pipeline feeds downstream is the keep=0 slice).
+    The training-data analog of the reference's best-base vote
+    (/root/reference/2df.c:459-498 picks the delta BASE; this picks which
+    member survives elimination).
+
+    ``members``: (id_col, cluster_id, quality_col) — one row per doc.
+
+    Scale shape (why this is an aggregate, not a window): a
+    ``row_number().over(partitionBy(cluster_id).orderBy(...))`` sorts every
+    member row of each cluster inside one task — a mega boilerplate cluster
+    (the exact skew the candidate tier defends against) lands whole in one
+    window partition. Here the argmax is a ``groupBy.agg(max_by)``:
+    partial aggregation reduces each task's slice of the mega cluster to
+    ONE candidate row before the shuffle, so the skewed key moves k rows
+    (k = tasks), not its membership. The join-back on cluster_id uses a
+    shuffle-hash hint (no sort; AQE splits any residual skewed partition)
+    — or a broadcast when the caller knows the cluster count is small
+    (``broadcast_keepers=True``). In general the keeper table is
+    cluster-count-sized (~corpus order once singletons exist), so the
+    guarded-shuffle form is the 10^12-doc default.
+
+    max_by's key is ``struct(quality, -id)``: struct comparison is
+    lexicographic, so max quality wins, then min id — identical to the
+    oracle's ``row_number() OVER (ORDER BY quality DESC, id ASC) = 1``.
+
+    ``members`` feeds BOTH the aggregate and the join-back: pass a
+    materialized frame (table scan / checkpoint, as pipeline stages do)
+    or its lineage computes twice.
+    """
+    keepers = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col)).alias("neg_id"),
+            ),
+        ).alias("keeper_id")
+    )
+    if broadcast_keepers:
+        keepers = F.broadcast(keepers)
+    else:
+        keepers = keepers.hint("shuffle_hash")
+    return members.join(keepers, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        F.col(quality_col),
+        (F.col(id_col) == F.col("keeper_id")).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental cluster maintenance
 # ---------------------------------------------------------------------------

@@ -89,6 +89,22 @@ def main() -> None:
         sig_b, cfg, "doc_id",
     )
 
+    from imdedup_plus_spark import textfns as T
+
+    members = (
+        CL.clusters_from_pairs(
+            sig_k.select("doc_id"), ver_ck.select("id_a", "id_b"), "doc_id"
+        )
+        .join(
+            T.quality_score(docs, "doc_id").select(
+                "doc_id", "quality_permille"
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    keepers = CL.cluster_keepers(members, "doc_id")
+
     sections = [
         ("signatures (narrow map; scan must prune to doc_id,text)", sig),
         ("bands explode (still narrow)", bands),
@@ -104,6 +120,7 @@ def main() -> None:
         ("update_clusters (incremental fold: BroadcastHashJoin relabels the assignment — no corpus exchange; quotient CC is checkpoint-isolated upstream)", inc),
         ("verify_pairs_kernel over the BUCKETED signature store (the stable wide side is never reshuffled: its scans expose the bucket HashPartitioning, Exchanges remain only on the pair side)", ver_b),
         ("distinct_shingle_estimate_kernel (KMV: mapInPandas bottom-k partials — <=k rows per chunk — then the only exchange is over the tiny partial set; the shingle universe is never shuffled)", M.distinct_shingle_estimate_kernel(sig_k)),
+        ("cluster_keepers (argmax survivor per cluster: partial max_by aggregate BEFORE the exchange — a mega cluster ships one candidate row per task, NOT its membership — then ShuffledHashJoin join-back; NO per-cluster row_number window sort anywhere in the plan)", keepers),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(

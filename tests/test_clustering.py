@@ -104,3 +104,68 @@ def test_clusters_from_pairs_star_flag(spark):
          for r in clusters_from_pairs(docs, pairs, "doc_id", algorithm="star").collect()}
     assert a == b
     assert a[7] == 1 and a[9] == 2 and a[0] == 0
+
+
+def _keeper_rows(spark, rows, **kw):
+    from imdedup_plus_spark.clustering import cluster_keepers
+
+    members = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, quality_permille long"
+    )
+    got = cluster_keepers(members, "doc_id", **kw).collect()
+    return {r.doc_id: (r.cluster_id, r.quality_permille, r.keep) for r in got}
+
+
+def test_cluster_keepers_argmax_and_ties(spark):
+    """Keeper = max quality, tie broken by MIN id; singleton keeps itself;
+    every member emits exactly one row with a 0/1 keep flag."""
+    rows = [
+        # cluster 10: clear quality winner (doc 3)
+        (1, 10, 100), (3, 10, 900), (5, 10, 500),
+        # cluster 20: quality tie 700 — min id (2) wins
+        (2, 20, 700), (8, 20, 700), (9, 20, 100),
+        # singleton
+        (42, 42, 0),
+    ]
+    got = _keeper_rows(spark, rows)
+    assert len(got) == len(rows)
+    assert got[3] == (10, 900, 1) and got[1][2] == 0 and got[5][2] == 0
+    assert got[2] == (20, 700, 1) and got[8][2] == 0 and got[9][2] == 0
+    assert got[42] == (42, 0, 1)
+    # exactly one keeper per cluster
+    keep_per_cluster = {}
+    for cid, _q, keep in got.values():
+        keep_per_cluster[cid] = keep_per_cluster.get(cid, 0) + keep
+    assert set(keep_per_cluster.values()) == {1}
+
+
+def test_cluster_keepers_broadcast_variant_identical(spark):
+    """broadcast_keepers=True (small-cluster-count fast path) is
+    row-identical to the default shuffle-hash join-back."""
+    rows = [(i, i % 3, (i * 37) % 11) for i in range(60)]
+    assert _keeper_rows(spark, rows) == _keeper_rows(
+        spark, rows, broadcast_keepers=True
+    )
+
+
+def test_cluster_keepers_plan_has_no_window(spark):
+    """The scale claim: the physical plan contains a partial max_by
+    aggregate and NO Window operator (a mega cluster must never be
+    sorted whole inside one task)."""
+    from imdedup_plus_spark.clustering import cluster_keepers
+
+    members = spark.createDataFrame(
+        [(i, i % 5, i * 7 % 13) for i in range(100)],
+        "doc_id long, cluster_id long, quality_permille long",
+    )
+    plan = (
+        cluster_keepers(members, "doc_id")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "Window" not in plan, plan
+    assert "max_by" in plan and "partial_max_by" in plan, plan
