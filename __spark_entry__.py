@@ -592,7 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _domain_dup(spark, sf):
         docs = _docs(spark, sf)
         dom = docs.select(
-            ID, WU.domain_of(F.expr(_SYNTH_URL_SQL)).alias("dm")
+            ID,
+            WU.registrable_domain_of(F.expr(_SYNTH_URL_SQL)).alias("dm"),
         )
         ver = _verified(spark, sf).select("id_a", "id_b")
         da = dom.select(F.col(ID).alias("id_a"), F.col("dm").alias("da"))
@@ -727,7 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_dup_stats": sq(
             f""", dom AS (
               SELECT {ID} AS did,
-                     {WU.domain_sql(_SYNTH_URL_SQL)} AS dm
+                     {WU.registrable_domain_sql(_SYNTH_URL_SQL)} AS dm
               FROM documents
             )
             SELECT domain_a, domain_b, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -168,9 +168,26 @@ def _calibration_probe(sf_dir: str) -> dict:
     }
 
 
-def run_default() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    calibration = _calibration_probe(sf_dir)
+#: cpu_matmul_sec above this = degraded host (healthy reference
+#: 0.08-0.19s on this VM; degraded episodes measure 0.3-1.1s)
+PROBE_DEGRADED_SEC = 0.25
+
+
+def _wait_for_healthy_host(sf_dir: str, max_wait_sec: float) -> list[dict]:
+    """Probe; if degraded, sleep-and-reprobe until healthy or the wait
+    budget runs out. Returns every probe taken (last one = the run's)."""
+    attempts = [_calibration_probe(sf_dir)]
+    deadline = time.time() + max_wait_sec
+    while (
+        attempts[-1]["cpu_matmul_sec"] > PROBE_DEGRADED_SEC
+        and time.time() < deadline
+    ):
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+        attempts.append(_calibration_probe(sf_dir))
+    return attempts
+
+
+def _run_headline_once(sf_dir: str) -> tuple[dict, float, int]:
     # default 16, not nproc: several headline queries are Arrow-kernel
     # stages, and JVM feeder + Python worker per task saturate the 32-CPU
     # host at 16 (measured: 23.6s headline at 16 vs 28.7s at 32)
@@ -188,6 +205,38 @@ def run_default() -> None:
         total += dt
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
+    return timings, total, n_docs
+
+
+def run_default() -> None:
+    """Headline bench with host-luck insurance (VERDICT r03 #5): wait for
+    a healthy calibration probe before measuring, and if the measured run
+    still lands degraded (slow AND the post-probe confirms host, not
+    plan), retry ONCE after re-waiting. The JSON records every probe and
+    both runs, so the official number is self-diagnosing either way.
+    ``BENCH_NO_RETRY=1`` disables waiting/retry (iteration mode);
+    ``BENCH_PROBE_WAIT_SEC`` bounds each health wait (default 600)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    no_retry = os.environ.get("BENCH_NO_RETRY") == "1"
+    max_wait = 0.0 if no_retry else float(
+        os.environ.get("BENCH_PROBE_WAIT_SEC", "600")
+    )
+    retry_total_sec = float(os.environ.get("BENCH_RETRY_TOTAL_SEC", "32"))
+
+    probes = _wait_for_healthy_host(sf_dir, max_wait)
+    runs = []
+    timings, total, n_docs = _run_headline_once(sf_dir)
+    runs.append({"value": round(total, 3), "queries": timings})
+    if not no_retry and total > retry_total_sec:
+        post = _calibration_probe(sf_dir)
+        probes.append(post)
+        if post["cpu_matmul_sec"] > PROBE_DEGRADED_SEC:
+            # slow run + degraded post-probe = host episode: one retry
+            probes.extend(_wait_for_healthy_host(sf_dir, max_wait))
+            t2, tot2, _ = _run_headline_once(sf_dir)
+            runs.append({"value": round(tot2, 3), "queries": t2})
+            if tot2 < total:
+                timings, total = t2, tot2
     print(
         json.dumps(
             {
@@ -200,7 +249,9 @@ def run_default() -> None:
                 "docs_per_sec_full_pipeline": round(n_docs / timings["clusters"], 1)
                 if timings.get("clusters")
                 else None,
-                "calibration": calibration,
+                "calibration": probes[-1],
+                "probe_attempts": probes,
+                "runs": runs,
             }
         )
     )

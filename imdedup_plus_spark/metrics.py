@@ -95,7 +95,20 @@ def _kmv_totals(sig_df: DataFrame) -> DataFrame:
     # the estimator is only meaningful over UNTRUNCATED shingle sets: a
     # per-doc KMV bottom-64 set (SCALE_CONFIG kernel output) keeps the
     # smallest *shingle values*, which under the spreading permutation is a
-    # biased sample of h — refuse loudly at execution time
+    # biased sample of h — refuse loudly at execution time. The guard
+    # needs ``n_set_true`` to see truncation, and every packed (binary)
+    # frame comes from a kernel that emits it — so a binary frame WITHOUT
+    # the column is a projection that dropped the evidence (ADVICE r03):
+    # refuse at plan time rather than silently under-estimate.
+    if (
+        dict(sig_df.dtypes).get("shingle_set") == "binary"
+        and "n_set_true" not in sig_df.columns
+    ):
+        raise ValueError(
+            "distinct_shingle_estimate: packed shingle_set without "
+            "n_set_true — cannot prove the sets are untruncated; keep "
+            "n_set_true in the projection (signature kernels emit it)"
+        )
     trunc = (
         F.max(F.col("n_set_true") - set_sz) if "n_set_true" in sig_df.columns
         else F.lit(0)

@@ -29,7 +29,7 @@ needs, treating media as opaque bytes + typed metadata:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -231,7 +231,11 @@ def _image_stats(img) -> tuple:
 
 
 def decode_image(
-    df: DataFrame, bin_col: str, id_col: str, carry: tuple[str, ...] = ()
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+    decoder: "Callable[[bytes], np.ndarray] | None" = None,
 ) -> DataFrame:
     """binary -> decoded-image statistics, REAL decode: PNG payloads run
     the from-scratch PNG codec (CRC-verified inflate + unfilter), JPEG
@@ -241,21 +245,32 @@ def decode_image(
     PNG path is DuckDB-replayable (``mm_png_roundtrip``); the JPEG lane's
     machine check is ``mm_jpeg_dct_stats`` (quantized-DCT domain, where
     the codec IS exact). ``carry`` forwards extra columns (e.g.
-    ``frame_idx``) through the kernel. Narrow Arrow-batched map."""
+    ``frame_idx``) through the kernel. Narrow Arrow-batched map.
+
+    ``decoder`` is the native-codec injection seam: a cloudpickled
+    ``bytes -> uint8 ndarray`` ((h, w) gray or (h, w, c)) callback that
+    REPLACES the built-in routing — on a real cluster pass e.g.
+    ``lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))`` (Pillow /
+    libjpeg-turbo) and the Spark-side plumbing (schema, batching, carry
+    columns, stats fold) is unchanged. Default ``None`` keeps the
+    from-scratch codecs, so every oracle row is unaffected."""
     from .jpeg import decode_jpeg
     from .png import PNG_MAGIC, decode_png
+
+    def _builtin(b: bytes) -> np.ndarray:
+        if b[:3] == _JPEG_MAGIC:
+            return decode_jpeg(b)
+        if b[:8] != PNG_MAGIC:
+            raise ValueError("decode_image: payload is not PNG/JPEG")
+        return decode_png(b)
+
+    decode = decoder if decoder is not None else _builtin
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, raw in enumerate(pdf[bin_col].values):
-                b = bytes(raw)
-                if b[:3] == _JPEG_MAGIC:
-                    img = decode_jpeg(b)
-                elif b[:8] != PNG_MAGIC:
-                    raise ValueError("decode_image: payload is not PNG/JPEG")
-                else:
-                    img = decode_png(b)
+                img = decode(bytes(raw))
                 rows.append(
                     (pdf[id_col].values[i],)
                     + tuple(pdf[c].values[i] for c in carry)

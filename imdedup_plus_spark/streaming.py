@@ -1070,7 +1070,7 @@ def compact_state_store(
 
     retired = _retired_view(spark, state_dir)
     if retired is None:
-        return {"n_superseded_ids": 0}
+        return {"n_superseded_ids": 0, "n_removed_versions": 0}
     done = processed_epochs(state_dir)
     # distinct ids with at least one dead version (the retired view is a
     # per-id watermark); the number of REMOVED VERSION ROWS is the sum of
@@ -1169,7 +1169,11 @@ def compact_state_store(
     _sweep(deltas_store, _keep_set(live_deltas, ["epoch", "bh_part"]), ["epoch", "bh_part"])
     _sweep(pairs_store, keep_pairs, ["epoch"])
     shutil.rmtree(f"{state_dir}/retired", ignore_errors=True)
-    return {"n_superseded_ids": n_removed}
+    # n_removed_versions: legacy alias kept one release for external
+    # consumers of the pre-rename key (ADVICE r03); same value — the
+    # semantics changed to DISTINCT superseded ids when the key was
+    # renamed, and both keys now carry that count.
+    return {"n_superseded_ids": n_removed, "n_removed_versions": n_removed}
 
 
 def windowed_event_counts(

@@ -112,14 +112,116 @@ def latest_revision(
 def domain_of(col: Column | str) -> Column:
     """Host extraction over the CANONICAL form: ``canonicalize_url``
     already stripped scheme/``www.``/default ports/fragments, so the
-    host is the prefix before the first ``/`` (non-default ports remain
-    part of the token — deliberate, they address distinct origins). An
-    approximation of the registrable domain without a public-suffix
-    list; the rule-table discipline applies (``domain_sql`` compiles the
-    identical expression for DuckDB)."""
-    return F.split_part(canonicalize_url(col), F.lit("/"), F.lit(1))
+    host is the prefix before the first ``/``, then before the first
+    ``?`` (a RETAINED query string with no path — ``s.example?q=1`` —
+    must not fold into the host; ADVICE r03). Non-default ports remain
+    part of the token — deliberate, they address distinct origins. For
+    the registrable domain (public-suffix aware) use
+    ``registrable_domain_of``. The rule-table discipline applies
+    (``domain_sql`` compiles the identical expression for DuckDB)."""
+    c = canonicalize_url(col)
+    return F.split_part(
+        F.split_part(c, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1)
+    )
 
 
 def domain_sql(expr: str) -> str:
     """DuckDB compiler for the SAME host extraction."""
-    return f"split_part({canonicalize_sql(expr)}, '/', 1)"
+    return f"split_part(split_part({canonicalize_sql(expr)}, '/', 1), '?', 1)"
+
+
+#: Multi-label public suffixes under which registrable domains sit one
+#: label deeper (``foo.co.uk`` -> registrable ``foo.co.uk``, not
+#: ``co.uk``). A deliberately small embedded subset of the well-known
+#: two-label entries of the Public Suffix List (the full PSL is a
+#: runtime data file on a real deployment; this table keeps mirror
+#: detection from fragmenting across the most common ccTLD registries).
+#: One tuple, two regex compilers — same discipline as _CANON_RULES.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    # UK / IE
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    # Japan / Korea
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr",
+    # Brazil / Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "com.co", "com.pe", "com.ve", "com.ec", "com.uy",
+    # China / HK / TW / SE Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.hk", "com.tw", "com.sg", "com.my", "com.ph", "com.vn",
+    # India / South Asia
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "res.in", "gov.in",
+    "com.pk", "com.bd",
+    # Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.ng", "com.eg", "com.sa", "com.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    # Europe (multi-label registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua",
+    "com.ru", "net.ru", "org.ru",
+    # Thailand / Indonesia
+    "co.th", "ac.th", "go.th", "or.th", "in.th", "net.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id",
+)
+
+#: label (no dot, no port/query/path chars)
+_LBL = "[^./:?]+"
+#: regex: registrable domain under a multi-label public suffix
+_PSL_RE = (
+    f"({_LBL}\\.(?:" + "|".join(s.replace(".", "\\.") for s in PUBLIC_SUFFIXES) + "))$"
+)
+#: regex: plain second-level fallback (last two labels)
+_SLD_RE = f"({_LBL}\\.{_LBL})$"
+
+
+def registrable_domain_of(col: Column | str) -> Column:
+    """Registrable domain (public-suffix aware) of the canonical URL:
+    host token (ports stripped — a registrable domain is a NAME, unlike
+    ``domain_of``'s origin token), then the last two labels, or the last
+    THREE when the final two are a known multi-label public suffix
+    (``PUBLIC_SUFFIXES``), so ``a.foo.co.uk`` and ``b.foo.co.uk`` both
+    map to ``foo.co.uk`` instead of fragmenting mirror detection.
+    Literal IPv4 hosts and single-label hosts pass through unchanged.
+    Pure JVM regexp chain; ``registrable_domain_sql`` is the identical
+    DuckDB compile (both engines' ``regexp_extract`` return '' on no
+    match)."""
+    c = canonicalize_url(col)
+    host = F.split_part(
+        F.split_part(
+            F.split_part(c, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1)
+        ),
+        F.lit(":"),
+        F.lit(1),
+    )
+    psl = F.regexp_extract(host, _PSL_RE, 1)
+    sld = F.regexp_extract(host, _SLD_RE, 1)
+    return (
+        F.when(host.rlike(r"^(\d{1,3}\.){3}\d{1,3}$"), host)
+        .when(psl != "", psl)
+        .when(sld != "", sld)
+        .otherwise(host)
+    )
+
+
+def registrable_domain_sql(expr: str) -> str:
+    """DuckDB compiler for the SAME registrable-domain extraction."""
+    host = (
+        f"split_part(split_part(split_part({canonicalize_sql(expr)}, "
+        "'/', 1), '?', 1), ':', 1)"
+    )
+    psl_re = _PSL_RE.replace("'", "''")
+    sld_re = _SLD_RE.replace("'", "''")
+    return (
+        f"CASE WHEN regexp_matches({host}, '^(\\d{{1,3}}\\.){{3}}\\d{{1,3}}$') THEN {host} "
+        f"WHEN regexp_extract({host}, '{psl_re}', 1) != '' "
+        f"THEN regexp_extract({host}, '{psl_re}', 1) "
+        f"WHEN regexp_extract({host}, '{sld_re}', 1) != '' "
+        f"THEN regexp_extract({host}, '{sld_re}', 1) "
+        f"ELSE {host} END"
+    )

@@ -103,12 +103,16 @@ def main() -> int:
             return 1
         res[mode] = json.loads(lines[-1][len("RESULT "):])
         print(json.dumps(res[mode]), flush=True)
-    err = res["est"]["est_distinct"] / res["exact"]["n_distinct"] - 1.0
+    exact_n = res["exact"]["n_distinct"]
+    # degenerate corpus (no docs pass validity): report null, don't crash
+    err = (
+        res["est"]["est_distinct"] / exact_n - 1.0 if exact_n else None
+    )
     print(json.dumps({
         "n_base": n_base,
         "est_distinct": res["est"]["est_distinct"],
-        "exact_distinct": res["exact"]["n_distinct"],
-        "rel_error": round(err, 6),
+        "exact_distinct": exact_n,
+        "rel_error": round(err, 6) if err is not None else None,
         "est_sec": res["est"]["sec"],
         "exact_sec": res["exact"]["sec"],
     }))

@@ -232,3 +232,48 @@ def test_verify_kernel_kmv_chunk_boundaries(spark, fixture_corpus):
             exp.append((id_a, id_b, nmb, n_eq, inter, un))
     sig.unpersist()
     assert got == sorted(exp)
+
+
+def test_empty_vs_empty_verify_accepts_in_all_three_forms(spark):
+    """VERDICT r03 #4 pinned: a pair whose BOTH shingle sets are empty is
+    ACCEPTED by vacuity (inter=0, un=0, 0*100 >= 0*pct). Deliberate and
+    unreachable in the pipeline (valid_documents >= min_tokens and a
+    signature needs >= shingle_window tokens), but all three forms — SQL,
+    exact kernel, KMV chunked kernel — plus the DuckDB oracle predicate
+    must agree so parity holds if an upstream filter ever changes."""
+    import duckdb
+
+    n_perm = CFG.n_perm
+    sig_arr = list(range(n_perm))
+    pairs = spark.createDataFrame(
+        [(1, 2, 1)], "id_a long, id_b long, n_matching_bands long"
+    )
+    sig_sql = spark.createDataFrame(
+        [(1, sig_arr, []), (2, sig_arr, [])],
+        "doc_id long, sig array<bigint>, shingle_set array<bigint>",
+    )
+
+    out_sql = C.verify_pairs(pairs, sig_sql, CFG, "doc_id").collect()
+    out_kx = C.verify_pairs_kernel(pairs, sig_sql, CFG, "doc_id").collect()
+
+    sig_packed = spark.createDataFrame(
+        [(1, sig_arr, bytearray(b"")), (2, sig_arr, bytearray(b""))],
+        "doc_id long, sig array<bigint>, shingle_set binary",
+    )
+    kmv_cfg = replace(CFG, verify_sketch_k=64)
+    out_kmv = C.verify_pairs_kernel(pairs, sig_packed, kmv_cfg, "doc_id").collect()
+
+    for out in (out_sql, out_kx, out_kmv):
+        assert len(out) == 1, out
+        r = out[0]
+        assert (r.id_a, r.id_b, r.inter, r.un) == (1, 2, 0, 0)
+        assert r.n_eq == n_perm
+
+    # the oracle predicate (oracle.py verify form) on empty lists
+    pct = CFG.verify_jaccard_pct
+    (dk,) = duckdb.execute(
+        "SELECT CAST(len(list_intersect([], [])) AS BIGINT) * 100 >= "
+        f"(CAST(len([]) + len([]) AS BIGINT) - "
+        f"CAST(len(list_intersect([], [])) AS BIGINT)) * {pct}"
+    ).fetchone()
+    assert dk is True

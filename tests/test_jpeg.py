@@ -236,3 +236,26 @@ def test_color_subsample_and_convert_edges():
     s = subsample_420(p)
     assert s.shape == (2, 3)
     assert s[1, 2] == (p[2, 4] * 4 + 2) // 4  # bottom-right fully clamped
+
+
+def test_corrupt_entropy_fuzz_never_crashes():
+    """VERDICT r03 #3 (pinned): random byte corruption inside the entropy
+    segment — the crawl-corpus norm — must either decode or raise
+    ValueError; never IndexError/TypeError (AC zigzag overrun, bit-reader
+    overread). Seeded, 200 trials."""
+    import random
+
+    from imdedup_plus_spark.jpeg import decode_jpeg
+
+    data = encode_jpeg(synth_image(5))
+    sos = data.find(b"\xff\xda")
+    rng = random.Random(0xC0FFEE)
+    for _ in range(200):
+        b = bytearray(data)
+        for _ in range(8):
+            i = rng.randrange(sos + 10, len(b) - 2)
+            b[i] = rng.randrange(255)  # 255 excluded: 0xFF starts a marker
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass

@@ -64,10 +64,12 @@ def test_kernel_parity_array_sets(sig_df):
 
 def test_kernel_parity_binary_sets(spark, fixture_corpus, sig_df):
     # the Arrow signature kernel emits packed little-endian int32 BINARY
-    # sets; REFERENCE_CONFIG (verify_sketch_k=0) keeps them untruncated
+    # sets; REFERENCE_CONFIG (verify_sketch_k=0) keeps them untruncated.
+    # Caller contract (ADVICE r03): packed frames must RETAIN n_set_true
+    # so the estimator can prove untruncatedness.
     ksig = S.signature_kernel_arrow(
         fixture_corpus.select("url", "text", "lang"), CFG, "url"
-    ).select("url", "shingle_set")
+    ).select("url", "shingle_set", "n_set_true")
     ref = M.distinct_shingle_estimate(sig_df).collect()
     ker = M.distinct_shingle_estimate_kernel(ksig).collect()
     assert [tuple(r) for r in ref] == [tuple(r) for r in ker]
@@ -204,3 +206,19 @@ def test_truncated_sets_refused(spark, fixture_corpus):
     assert "n_set_true" in tsig.columns
     with pytest.raises(Exception, match="KMV-truncated"):
         M.distinct_shingle_estimate_kernel(tsig).collect()
+
+
+def test_estimator_refuses_packed_set_without_n_set_true(spark):
+    """ADVICE r03: a packed (binary) shingle_set frame whose projection
+    dropped n_set_true cannot prove the sets are untruncated — the
+    estimator must refuse at plan time, not silently bias."""
+    import pytest
+
+    from imdedup_plus_spark import metrics as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray((7).to_bytes(4, "little")))],
+        "doc_id long, shingle_set binary",
+    )
+    with pytest.raises(ValueError, match="n_set_true"):
+        M.distinct_shingle_estimate_kernel(df)

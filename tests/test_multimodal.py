@@ -105,3 +105,41 @@ def test_html_extract_roundtrip_query(spark, sf001_docs):
     out = html_extract_roundtrip(sf001_docs, "doc_id")
     rows = out.collect()
     assert rows and all(r["roundtrip_ok"] for r in rows)
+
+
+def test_decode_image_injected_decoder_seam(spark, sf001_docs):
+    """VERDICT r03 #6: the native-codec injection seam. A stub decoder
+    (stand-in for Pillow/libjpeg-turbo on a real cluster) slots into the
+    same mapInPandas plumbing: identical schema, deterministic stats from
+    the fake pixels — and the default path is bit-unchanged."""
+    import numpy as np
+
+    docs = sf001_docs.limit(8)
+    pngs = MM.synth_png_df(docs, "doc_id")
+
+    def fake_decoder(b: bytes) -> np.ndarray:
+        # deterministic 4x4 gray ramp seeded by payload length
+        v = len(b) % 251
+        return (np.arange(16, dtype=np.int64).reshape(4, 4) + v).astype(
+            np.uint8
+        )
+
+    injected = MM.decode_image(pngs, "png", "doc_id", decoder=fake_decoder)
+    default = MM.decode_image(pngs, "png", "doc_id")
+    assert injected.schema == default.schema
+    rows = {r.doc_id: r for r in injected.collect()}
+    lens = {
+        r.doc_id: len(bytes(r.png))
+        for r in pngs.select("doc_id", "png").collect()
+    }
+    assert len(rows) == 8
+    for did, r in rows.items():
+        v = lens[did] % 251
+        assert (r.width, r.height, r.channels, r.n_pixels) == (4, 4, 1, 16)
+        assert r.pixel_sum == sum(range(16)) + 16 * v
+        assert r.pixel_min == v and r.pixel_max == v + 15
+    # default path: same rows as before the seam existed (real codec)
+    d0 = {r.doc_id: r.pixel_sum for r in default.collect()}
+    assert set(d0) == set(rows) and any(
+        d0[k] != rows[k].pixel_sum for k in d0
+    )

@@ -217,3 +217,68 @@ def test_domain_parity_spark_duckdb(spark):
     exp = [e for _, e in DOMAIN_CASES]
     assert got == exp
     assert duck == exp
+
+
+# url -> expected registrable domain (public-suffix aware, port stripped)
+REG_DOMAIN_CASES = [
+    ("https://a.foo.co.uk/x", "foo.co.uk"),
+    ("http://www.b.foo.co.uk/y/", "foo.co.uk"),       # same mirror bucket
+    ("https://shop.example.com.au/p?utm_source=x", "example.com.au"),
+    ("https://deep.sub.tree.example.co.jp/", "example.co.jp"),
+    ("https://news.example.com/a", "example.com"),
+    ("https://www.example.com", "example.com"),
+    ("https://s.example?q=1", "s.example"),            # ADVICE: kept query, no path
+    ("https://s.example:8080/p", "s.example"),         # port stripped here
+    ("http://192.168.10.1:8080/admin", "192.168.10.1"),# IPv4 passthrough
+    ("https://localhost/x", "localhost"),              # single label
+    ("https://co.uk/", "co.uk"),                       # bare suffix: SLD fallback
+]
+
+
+def test_registrable_domain_parity_spark_duckdb(spark):
+    """VERDICT r03 #7: PSL-subset registrable domains, identical in both
+    compilers, co.uk/com.au/co.jp battery + IPv4/single-label edges."""
+    df = spark.createDataFrame(
+        [(u,) for u, _ in REG_DOMAIN_CASES], "url string"
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            W.registrable_domain_of("url").alias("d")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2 (url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t2 VALUES (?)", [(u,) for u, _ in REG_DOMAIN_CASES]
+    )
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {W.registrable_domain_sql('url')} FROM t2"
+        ).fetchall()
+    ]
+    exp = [e for _, e in REG_DOMAIN_CASES]
+    assert got == exp, list(zip(got, exp))
+    assert duck == exp, list(zip(duck, exp))
+
+
+def test_domain_of_query_no_path(spark):
+    """ADVICE r03: 'https://s.example?q=1' must not fold '?q=1' into the
+    host token (split on '?' as well as '/'), in BOTH compilers."""
+    cases = [
+        ("https://s.example?q=1", "s.example"),
+        ("https://s.example:8080?q=1", "s.example:8080"),
+        ("https://s.example/p?q=1", "s.example"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["d"] for r in df.select(W.domain_of("url").alias("d")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t3 (url VARCHAR)")
+    con.executemany("INSERT INTO t3 VALUES (?)", [(u,) for u, _ in cases])
+    duck = [
+        r[0]
+        for r in con.execute(f"SELECT {W.domain_sql('url')} FROM t3").fetchall()
+    ]
+    exp = [e for _, e in cases]
+    assert got == exp and duck == exp
