@@ -1,0 +1,666 @@
+"""Training-data preparation lanes over the web-text corpus.
+
+The reference dedups a FILE corpus; an LLM training pipeline additionally
+needs corpus-level text hygiene. This module adds the four standard
+operators of that pipeline, each re-expressed Spark-first with the
+repo's two-compilers discipline (one arithmetic, a Spark Column/SQL form
+AND a bit-identical DuckDB form; see ``signatures.py`` / ``oracle.py``):
+
+* **Cross-document duplicated-span removal** (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"): find every
+  maximal token span whose ``window``-gram content occurs >= ``min_count``
+  times corpus-wide, per document — the *global* analog of the
+  reference's per-pair block-index matching (``/root/reference/index.c:38-267``
+  finds repeated blocks between ONE target and ONE base; this lane finds
+  repeated n-grams across the WHOLE corpus, then merges their positions
+  into maximal intervals).
+* **Test-set decontamination**: flag documents sharing any ``window``-gram
+  with a benchmark snippet table (the n-gram-overlap rule used by GPT-3 /
+  PaLM / Llama data cards; 13-grams by default).
+* **Line-level dedup** (CCNet / RefinedWeb): lines occurring in >=
+  ``min_docs`` distinct documents are boilerplate (nav bars, cookie
+  banners); per-document retained ratio after dropping them.
+* **Deterministic stratified sampling**: language-stratified Bernoulli
+  sampling by a hash of the id — reproducible across runs/engines, no RNG.
+* **Sequence packing**: concat-and-chunk assignment of documents into
+  fixed ``ctx``-token training chunks over ``n_buckets`` independent
+  streams.
+
+Scale notes (100 TB):
+
+* The dup-span / line lanes shuffle on the n-gram/line hash once
+  (map-side-combined count), keep only hashes with count >= threshold
+  (a tiny fraction of the universe), and join BACK on the same hash —
+  the join reuses the aggregation's hash partitioning, and AQE handles
+  hot boilerplate hashes (the exact skew the band lane salts against).
+  The per-document interval merge is a window over O(tokens-per-doc)
+  rows — never corpus-wide.
+* Decontamination's benchmark n-gram set is tiny (benchmarks are KBs,
+  corpora are TBs): ``broadcast()`` semi-join, zero shuffle of the
+  corpus side. At extreme benchmark sizes swap in a Bloom filter
+  (``F.try_element_at`` of a broadcast bitmap) — same plan shape.
+* Sampling is a narrow filter (no shuffle at all); packing is one
+  window per pack bucket, with ``n_buckets`` sized to the cluster so
+  every stream sorts only corpus/``n_buckets`` rows.
+
+No Python appears in any of these paths — pure JVM expressions end to
+end, and every query output is scalar columns only (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import HASH_MOD, PERM_P, SHINGLE_MULT
+from .oracle import shingles_sql, tokens_sql, word_hashes_sql
+from .signatures import shingles_expr, tokens_expr, word_hashes_expr
+
+#: n-gram width for duplicated-span and decontamination lanes — the
+#: 13-gram rule from the GPT-3/PaLM data cards (public), NOT the MinHash
+#: shingle window (config.shingle_window is reference-parity-bound).
+DUP_NGRAM = 13
+#: pseudo-line width in tokens. The synthetic corpus carries no newlines,
+#: so "lines" are fixed token windows; on real web text swap the splitter
+#: to split(text, '\n') in BOTH compilers (one-line change each) — every
+#: downstream expression (hash, frequency, clean ratio) is unchanged.
+LINE_TOKENS = 8
+#: packing defaults: training context length and independent pack streams
+PACK_CTX = 512
+PACK_BUCKETS = 8
+#: deterministic sampling LCG (public PCG64 multiplier/increment, reduced
+#: mod the engine's Mersenne prime so products stay BIGINT-safe)
+SAMPLE_MULT = 6364136223846793005 % PERM_P
+SAMPLE_INC = 1442695040888963407 % PERM_P
+#: default language-stratified keep rates (permille)
+SAMPLE_RATES = {"en": 800, "de": 500, "fr": 250, "es": 125}
+
+
+# ---------------------------------------------------------------------------
+# shared expression builders (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def line_hashes_expr(wh_col: str, line_tokens: int = LINE_TOKENS) -> str:
+    """Spark: hash of each consecutive ``line_tokens``-token group (last
+    group may be partial) — same polynomial combiner as shingles."""
+    n_lines = f"CAST(floor((size({wh_col}) - 1) / {line_tokens}) AS INT)"
+    return (
+        f"CASE WHEN size({wh_col}) = 0 THEN array() "
+        f"ELSE transform(sequence(0, {n_lines}), i -> "
+        f"aggregate(slice({wh_col}, i * {line_tokens} + 1, {line_tokens}), 0L, "
+        f"(acc, h) -> (acc * {SHINGLE_MULT} + h) % {HASH_MOD})) END"
+    )
+
+
+def line_hashes_sql(wh: str, line_tokens: int = LINE_TOKENS) -> str:
+    """DuckDB twin of ``line_hashes_expr`` (list_reduce == fold-with-init-0
+    for this combiner; list slicing clamps like Spark ``slice``)."""
+    n_lines = f"CAST(floor((len({wh}) - 1) / {line_tokens}) AS BIGINT) + 1"
+    return (
+        f"CASE WHEN len({wh}) = 0 THEN [] "
+        f"ELSE list_transform(generate_series(1, {n_lines}), i -> "
+        f"list_reduce({wh}[(i - 1) * {line_tokens} + 1 : (i - 1) * {line_tokens} + {line_tokens}], "
+        f"(a, b) -> (a * {SHINGLE_MULT} + b) % {HASH_MOD})) END"
+    )
+
+
+def _wh_df(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(word_hashes_expr(tokens_expr(text_col))).alias("wh"),
+    )
+
+
+def _wh_cte(id_col: str, table: str, text_col: str = "text") -> str:
+    return (
+        f"wh AS (SELECT {id_col} AS id, "
+        f"{word_hashes_sql(tokens_sql(text_col))} AS wh FROM {table})"
+    )
+
+
+def _pos_ngrams(docs: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, pos, h): every ``window``-gram hash with its token position."""
+    return (
+        _wh_df(docs, id_col)
+        .select("id", F.posexplode(F.expr(shingles_expr("wh", window))))
+        .select("id", F.col("pos").cast("long").alias("pos"), F.col("col").alias("h"))
+    )
+
+
+def _pos_ngrams_cte(window: int) -> str:
+    """DuckDB twin of ``_pos_ngrams`` (appends to a ``wh`` CTE)."""
+    return (
+        f"sh AS (SELECT id, {shingles_sql('wh', window)} AS shingles FROM wh), "
+        "ng AS (SELECT id, u.pos AS pos, u.h AS h FROM ("
+        "SELECT id, unnest(list_transform(generate_series(1, len(shingles)), "
+        "i -> {'pos': CAST(i - 1 AS BIGINT), 'h': shingles[i]})) AS u FROM sh))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. cross-document duplicated-span removal (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A position is *duplicated* when its ``window``-gram hash occurs
+    ``min_count``+ times corpus-wide (including intra-document repeats —
+    the suffix-array semantics of Lee et al.). Overlapping or touching
+    duplicated windows ``[pos, pos + window)`` merge into one maximal
+    span (gaps-and-islands over a per-document window).
+
+    Returns (doc_id, span_start, span_end, span_tokens); token-space,
+    end-exclusive. Plan: one groupBy(h) with map-side combine, a
+    same-key join back (partitioning reuse), then per-doc windows over
+    O(doc-length) rows.
+    """
+    ng = _pos_ngrams(docs, id_col, window)
+    freq = ng.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") >= min_count
+    )
+    dup = ng.join(freq.select("h"), "h")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.select(
+        "id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    island = F.sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.select("id", "pos", island.alias("island"))
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def _dup_spans_ctes(
+    id_col: str, table: str, window: int, min_count: int
+) -> str:
+    """Shared CTE chain up to the merged spans (DuckDB)."""
+    return f"""WITH {_wh_cte(id_col, table)},
+{_pos_ngrams_cte(window)},
+freq AS (SELECT h FROM ng GROUP BY h HAVING count(*) >= {min_count}),
+dup AS (SELECT ng.id, ng.pos FROM ng JOIN freq USING (h)),
+marked AS (
+  SELECT id, pos,
+    CASE WHEN max(pos + {window}) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos + {window}) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT id, pos, sum(new_island) OVER (
+    PARTITION BY id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+spans AS (
+  SELECT id, min(pos) AS span_start, max(pos) + {window} AS span_end
+  FROM islands GROUP BY id, island
+)"""
+
+
+def dup_ngram_spans_sql(
+    id_col: str,
+    table: str = "documents",
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of ``dup_ngram_spans``."""
+    return f"""{_dup_spans_ctes(id_col, table, window, min_count)}
+SELECT id AS {id_col}, span_start, span_end,
+       span_end - span_start AS span_tokens
+FROM spans"""
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str,
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-text summary over ``dup_ngram_spans``:
+    (doc_id, n_tokens, n_spans, dup_tokens, dup_permille). Every document
+    appears (zero spans -> zeros); ``dup_permille`` is the fraction of
+    tokens inside duplicated spans — the 'how much of my corpus is
+    duplicated text' number a pipeline operator reads before deciding
+    span removal thresholds."""
+    spans = dup_ngram_spans(docs, id_col, window, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    base = docs.select(
+        id_col,
+        F.expr(f"CAST(size({tokens_expr(text_col)}) AS BIGINT)").alias("n_tokens"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN CAST(floor(1000.0 * "
+            "coalesce(dup_tokens, 0) / n_tokens) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup_permille"),
+    )
+
+
+def dup_span_stats_sql(
+    id_col: str,
+    table: str = "documents",
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of ``dup_span_stats``."""
+    return f"""{_dup_spans_ctes(id_col, table, window, min_count)},
+per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY id
+)
+SELECT d.{id_col},
+       CAST(len({tokens_sql('d.text')}) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len({tokens_sql('d.text')}) > 0
+            THEN CAST(floor(1000.0 * coalesce(p.dup_tokens, 0) /
+                            len({tokens_sql('d.text')})) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS dup_permille
+FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# 2. test-set decontamination (13-gram overlap vs a benchmark table)
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic benchmark: every ``BENCH_MOD``-th document
+#: contributes the ``BENCH_SNIP_LEN``-token snippet starting at token
+#: ``BENCH_SNIP_START`` (0-based) — a stand-in for a real eval-set table
+#: (the operator takes ANY (bench_id, text) DataFrame in production).
+BENCH_MOD = 41
+BENCH_SNIP_START = 6
+BENCH_SNIP_LEN = 30
+
+
+def benchmark_snippets(docs: DataFrame, id_col: str) -> DataFrame:
+    """(bench_id, wh): word-hash arrays of the synthetic benchmark
+    snippets (see BENCH_* constants)."""
+    return (
+        docs.where(F.col(id_col) % BENCH_MOD == 0)
+        .select(
+            F.col(id_col).alias("bench_id"),
+            F.expr(
+                f"slice({word_hashes_expr(tokens_expr('text'))}, "
+                f"{BENCH_SNIP_START + 1}, {BENCH_SNIP_LEN})"
+            ).alias("wh"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, id_col: str, window: int = DUP_NGRAM
+) -> DataFrame:
+    """Per-document benchmark contamination:
+    (doc_id, n_doc_ngrams, n_hit_ngrams, contaminated).
+
+    A document is contaminated when any of its distinct ``window``-gram
+    hashes appears in the benchmark snippet set (GPT-3 appendix-C rule).
+    The benchmark n-gram set is broadcast — the corpus side is a narrow
+    scan + one per-doc distinct; no corpus shuffle against the benchmark.
+    The snippet's source documents flag themselves — correct: they DO
+    contain benchmark text."""
+    bench_ng = (
+        benchmark_snippets(docs, id_col)
+        .select(F.explode(F.expr(shingles_expr("wh", window))).alias("h"))
+        .distinct()
+    )
+    doc_ng = (
+        _wh_df(docs, id_col)
+        .select("id", F.explode(F.expr(shingles_expr("wh", window))).alias("h"))
+        .distinct()
+    )
+    per_doc = doc_ng.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_doc_ngrams")
+    )
+    hits = (
+        doc_ng.join(F.broadcast(bench_ng), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_doc_ngrams", F.lit(0)).alias("n_doc_ngrams"),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            F.expr(
+                "CAST(coalesce(n_hit_ngrams, 0) > 0 AS INT)"
+            ).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    id_col: str, table: str = "documents", window: int = DUP_NGRAM
+) -> str:
+    """DuckDB twin of ``decontaminate`` (same synthetic benchmark)."""
+    wh = word_hashes_sql(tokens_sql("text"))
+    return f"""WITH bench AS (
+  SELECT {wh}[{BENCH_SNIP_START + 1} : {BENCH_SNIP_START + BENCH_SNIP_LEN}] AS wh
+  FROM {table} WHERE {id_col} % {BENCH_MOD} = 0
+),
+bench_ng AS (
+  SELECT DISTINCT unnest({shingles_sql('wh', window)}) AS h FROM bench
+),
+{_wh_cte(id_col, table)},
+doc_ng AS (
+  SELECT DISTINCT id, unnest({shingles_sql('wh', window)}) AS h FROM wh
+),
+per_doc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_doc_ngrams
+            FROM doc_ng GROUP BY id),
+hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+         FROM doc_ng JOIN bench_ng USING (h) GROUP BY id)
+SELECT d.{id_col},
+       coalesce(p.n_doc_ngrams, 0) AS n_doc_ngrams,
+       coalesce(ht.n_hit_ngrams, 0) AS n_hit_ngrams,
+       CAST(coalesce(ht.n_hit_ngrams, 0) > 0 AS INT) AS contaminated
+FROM {table} d
+LEFT JOIN per_doc p ON p.id = d.{id_col}
+LEFT JOIN hits ht ON ht.id = d.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# 3. line-level boilerplate dedup (CCNet / RefinedWeb)
+# ---------------------------------------------------------------------------
+
+
+def _lines_df(docs: DataFrame, id_col: str, line_tokens: int) -> DataFrame:
+    return (
+        _wh_df(docs, id_col)
+        .select("id", F.posexplode(F.expr(line_hashes_expr("wh", line_tokens))))
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("line_id"),
+            F.col("col").alias("lh"),
+        )
+    )
+
+
+def _lines_cte(id_col: str, table: str, line_tokens: int) -> str:
+    return f"""{_wh_cte(id_col, table)},
+lh AS (SELECT id, {line_hashes_sql('wh', line_tokens)} AS lhs FROM wh),
+lines AS (SELECT id, u.line_id AS line_id, u.lh AS lh FROM (
+  SELECT id, unnest(list_transform(generate_series(1, len(lhs)),
+    i -> {{'line_id': CAST(i - 1 AS BIGINT), 'lh': lhs[i]}})) AS u FROM lh))"""
+
+
+def line_stats(
+    docs: DataFrame,
+    id_col: str,
+    line_tokens: int = LINE_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-line table: (line_hash, n_docs,
+    n_occurrences) for lines in >= ``min_docs`` distinct documents — the
+    boilerplate inventory (nav bars, footers) a CCNet-style cleaner
+    removes. One map-side-combined groupBy; the >= filter keeps the
+    output tiny relative to the line universe."""
+    return (
+        _lines_df(docs, id_col, line_tokens)
+        .groupBy(F.col("lh").alias("line_hash"))
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def line_stats_sql(
+    id_col: str,
+    table: str = "documents",
+    line_tokens: int = LINE_TOKENS,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``line_stats``."""
+    return f"""WITH {_lines_cte(id_col, table, line_tokens)}
+SELECT lh AS line_hash,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM lines GROUP BY lh HAVING count(DISTINCT id) >= {min_docs}"""
+
+
+def line_clean_stats(
+    docs: DataFrame,
+    id_col: str,
+    line_tokens: int = LINE_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document line-dedup effect: (doc_id, n_lines, n_dup_lines,
+    retained_permille). ``n_dup_lines`` counts line POSITIONS whose hash
+    is corpus-boilerplate (in >= ``min_docs`` docs); an empty document
+    retains 1000 permille (nothing to remove). The boilerplate set joins
+    back on the same hash key the frequency aggregation produced —
+    partitioning reuse, and at web scale the set is small enough to
+    broadcast."""
+    lines = _lines_df(docs, id_col, line_tokens)
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    per_doc = lines.join(boiler, "lh").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_lines")
+    )
+    n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(n_lines, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+            F.expr(
+                "CASE WHEN coalesce(n_lines, 0) > 0 THEN "
+                "CAST(floor(1000.0 * (n_lines - coalesce(n_dup_lines, 0)) "
+                "/ n_lines) AS BIGINT) ELSE CAST(1000 AS BIGINT) END"
+            ).alias("retained_permille"),
+        )
+    )
+
+
+def line_clean_stats_sql(
+    id_col: str,
+    table: str = "documents",
+    line_tokens: int = LINE_TOKENS,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``line_clean_stats``."""
+    return f"""WITH {_lines_cte(id_col, table, line_tokens)},
+boiler AS (SELECT lh FROM lines GROUP BY lh
+           HAVING count(DISTINCT id) >= {min_docs}),
+nl AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY id),
+nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_lines
+       FROM lines JOIN boiler USING (lh) GROUP BY id)
+SELECT d.{id_col},
+       coalesce(nl.n_lines, 0) AS n_lines,
+       coalesce(nd.n_dup_lines, 0) AS n_dup_lines,
+       CASE WHEN coalesce(nl.n_lines, 0) > 0 THEN
+         CAST(floor(1000.0 * (nl.n_lines - coalesce(nd.n_dup_lines, 0))
+              / nl.n_lines) AS BIGINT)
+       ELSE CAST(1000 AS BIGINT) END AS retained_permille
+FROM {table} d
+LEFT JOIN nl ON nl.id = d.{id_col}
+LEFT JOIN nd ON nd.id = d.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# 4. deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _rate_case(rates: dict[str, int]) -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(rates.items())
+    )
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+def sample_stratified(
+    docs: DataFrame,
+    id_col: str,
+    rates: dict[str, int] | None = None,
+) -> DataFrame:
+    """Language-stratified deterministic Bernoulli sample: keep a document
+    iff ``hash(id) % 1000 < rates[lang]`` (permille; unknown language ->
+    0). The hash is a fixed LCG mod the Mersenne prime — reproducible
+    across runs, engines, and partitionings (NOT ``F.rand``, which is
+    neither). Narrow filter, no shuffle. Returns
+    (doc_id, lang, sample_permille) for kept rows."""
+    rates = SAMPLE_RATES if rates is None else rates
+    sample = (
+        f"((({id_col} % {PERM_P}) * {SAMPLE_MULT} + {SAMPLE_INC}) "
+        f"% {PERM_P}) % 1000"
+    )
+    return (
+        docs.select(
+            id_col,
+            "lang",
+            F.expr(f"CAST({sample} AS BIGINT)").alias("sample_permille"),
+        )
+        .where(F.expr(f"sample_permille < {_rate_case(rates)}"))
+    )
+
+
+def sample_stratified_sql(
+    id_col: str,
+    table: str = "documents",
+    rates: dict[str, int] | None = None,
+) -> str:
+    """DuckDB twin of ``sample_stratified``."""
+    rates = SAMPLE_RATES if rates is None else rates
+    sample = (
+        f"((({id_col} % {PERM_P}) * {SAMPLE_MULT} + {SAMPLE_INC}) "
+        f"% {PERM_P}) % 1000"
+    )
+    return f"""SELECT {id_col}, lang,
+       CAST({sample} AS BIGINT) AS sample_permille
+FROM {table}
+WHERE {sample} < {_rate_case(rates)}"""
+
+
+# ---------------------------------------------------------------------------
+# 5. sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks(
+    docs: DataFrame,
+    id_col: str,
+    ctx: int = PACK_CTX,
+    n_buckets: int = PACK_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document its byte range in a concat-and-chunk training
+    stream: (doc_id, pack_bucket, n_tokens, stream_offset, chunk_first,
+    chunk_last). Documents are concatenated in id order within
+    ``n_buckets`` independent streams (bucket = id % n_buckets) and the
+    stream is cut every ``ctx`` tokens; a document spans chunks
+    ``chunk_first..chunk_last``. Zero-token documents are dropped (they
+    occupy no stream space). One window per bucket — size ``n_buckets``
+    to the cluster so each stream's sort holds corpus/``n_buckets``
+    rows; the assignment is deterministic, so re-runs (and the DuckDB
+    oracle) reproduce it exactly."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CAST(size({tokens_expr(text_col)}) AS BIGINT)").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("pack_bucket").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.select(
+            "id", "n_tokens", (F.col("id") % n_buckets).alias("pack_bucket")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "pack_bucket",
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("stream_offset"),
+        )
+        .select(
+            id_col,
+            "pack_bucket",
+            "n_tokens",
+            "stream_offset",
+            F.expr(f"CAST(floor(stream_offset / {ctx}.0) AS BIGINT)").alias(
+                "chunk_first"
+            ),
+            F.expr(
+                f"CAST(floor((stream_offset + n_tokens - 1) / {ctx}.0) AS BIGINT)"
+            ).alias("chunk_last"),
+        )
+    )
+
+
+def pack_chunks_sql(
+    id_col: str,
+    table: str = "documents",
+    ctx: int = PACK_CTX,
+    n_buckets: int = PACK_BUCKETS,
+) -> str:
+    """DuckDB twin of ``pack_chunks``."""
+    return f"""WITH base AS (
+  SELECT {id_col} AS id,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+         {id_col} % {n_buckets} AS pack_bucket
+  FROM {table}
+  WHERE len({tokens_sql('text')}) > 0
+),
+cum AS (
+  SELECT id, pack_bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS stream_offset
+  FROM base
+)
+SELECT id AS {id_col}, pack_bucket, n_tokens, stream_offset,
+       CAST(floor(stream_offset / {ctx}.0) AS BIGINT) AS chunk_first,
+       CAST(floor((stream_offset + n_tokens - 1) / {ctx}.0) AS BIGINT) AS chunk_last
+FROM cum"""

@@ -1,0 +1,284 @@
+"""trainprep.py — training-data prep lanes: adversarial semantics + DuckDB
+parity on hand-built corpora (the sf0.01 parity runs live in
+scripts/driver_check.py; these tests pin the EDGE behavior)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from imdedup_plus_spark import trainprep as TP
+
+
+def _mk_docs(spark, rows):
+    """rows: list of (doc_id, text, lang)."""
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _duck(rows, sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _words(n, tag=""):
+    return " ".join(f"w{tag}{i}" for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal
+# ---------------------------------------------------------------------------
+
+
+def test_dup_spans_exact_dup_covers_whole_doc(spark):
+    """Two identical 20-token docs: every 13-gram is duplicated, the
+    merged span covers [0, 20) in both, dup_permille == 1000."""
+    rows = [(1, _words(20), "en"), (2, _words(20), "en")]
+    spans = _collect(TP.dup_ngram_spans(_mk_docs(spark, rows), "doc_id"))
+    assert spans == [(1, 0, 20, 20), (2, 0, 20, 20)]
+    stats = {r[0]: r for r in _collect(TP.dup_span_stats(_mk_docs(spark, rows), "doc_id"))}
+    assert stats[1] == (1, 20, 1, 20, 1000)
+    assert stats[2] == (2, 20, 1, 20, 1000)
+
+
+def test_dup_spans_touching_windows_merge_gap_splits(spark):
+    """Doc 3 shares tokens 0-12 and 20-32 of doc 1's vocabulary via two
+    separate 13-token runs with a unique 7-token gap: two spans, not one
+    merged — while a doc repeating a 14-token run internally merges the
+    two overlapping windows into ONE maximal span."""
+    run_a = _words(13, "a")
+    run_b = _words(13, "b")
+    rows = [
+        (1, f"{run_a} {_words(7, 'x')} {run_b}", "en"),
+        (2, f"{run_a} {_words(7, 'y')} {run_b}", "en"),
+        # 14-token run repeated back-to-back inside one doc: positions
+        # 0..15 of 28 tokens are all duplicated 14-gram-wise at w=13 —
+        # windows overlap, must merge to one span
+        (3, f"{_words(14, 'z')} {_words(14, 'z')}", "en"),
+    ]
+    spans = _collect(TP.dup_ngram_spans(_mk_docs(spark, rows), "doc_id"))
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r[0], []).append(r)
+    # docs 1/2: two disjoint spans each ([0,13) and [20,33))
+    for d in (1, 2):
+        assert [(s[1], s[2]) for s in sorted(by_doc[d])] == [(0, 13), (20, 33)]
+    # doc 3: ONE merged span — the repeated 14-run means shingle i ==
+    # shingle i+14 for i in 0..1, plus cross-matches; merged maximal span
+    assert len(by_doc[3]) == 1
+
+
+def test_dup_spans_short_and_empty_docs_zero_rows(spark):
+    rows = [(1, _words(5), "en"), (2, "", "en"), (3, _words(40), "en")]
+    spans = _collect(TP.dup_ngram_spans(_mk_docs(spark, rows), "doc_id"))
+    assert spans == []  # nothing duplicated, nothing >= window in 1/2
+    stats = {r[0]: r for r in _collect(TP.dup_span_stats(_mk_docs(spark, rows), "doc_id"))}
+    assert stats[1] == (1, 5, 0, 0, 0)
+    assert stats[2] == (2, 0, 0, 0, 0)
+    assert stats[3] == (3, 40, 0, 0, 0)
+
+
+def test_dup_spans_duckdb_parity_adversarial(spark):
+    rows = [
+        (1, _words(20), "en"),
+        (2, _words(20), "en"),
+        (3, f"{_words(13, 'a')} gap1 gap2 {_words(13, 'a')}", "en"),
+        (4, "", "en"),
+        (5, "one two three", "en"),
+        (6, "tab\tand\nnewline " + _words(15), "en"),
+        (7, "tab\tand\nnewline " + _words(15), "de"),
+    ]
+    df = _mk_docs(spark, rows)
+    for fn, sql in (
+        (TP.dup_ngram_spans, TP.dup_ngram_spans_sql("doc_id")),
+        (TP.dup_span_stats, TP.dup_span_stats_sql("doc_id")),
+    ):
+        assert _collect(fn(df, "doc_id")) == _duck(rows, sql)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_snippet_sharers(spark):
+    """doc 0 (id % 41 == 0) donates tokens 6..35 as the benchmark snippet;
+    doc 1 copies that exact region -> contaminated; doc 2 disjoint."""
+    donor = _words(60)
+    donor_tokens = donor.split()
+    snippet = " ".join(donor_tokens[6:36])
+    rows = [
+        (0, donor, "en"),
+        (1, f"{_words(4, 'p')} {snippet} {_words(4, 'q')}", "en"),
+        (2, _words(50, "z"), "en"),
+    ]
+    out = {r[0]: r for r in _collect(TP.decontaminate(_mk_docs(spark, rows), "doc_id"))}
+    assert out[0][3] == 1  # the donor contains its own snippet
+    assert out[1][3] == 1 and out[1][2] >= 1
+    assert out[2] == (2, 50 - 13 + 1, 0, 0)
+
+
+def test_decontaminate_duckdb_parity(spark):
+    rows = [
+        (0, _words(60), "en"),
+        (41, _words(10), "en"),  # benchmark doc too short for a 13-gram
+        (1, _words(60), "en"),   # exact copy of donor -> contaminated
+        (2, _words(30, "q"), "en"),
+        (3, "", "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.decontaminate(df, "doc_id")) == _duck(
+        rows, TP.decontaminate_sql("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_lanes_partial_trailing_line_and_boilerplate(spark):
+    """Docs of 20 tokens = lines [0:8],[8:16],[16:20] (partial trailing
+    line hashed too). Two docs share ALL lines (exact dup); a third
+    shares none -> boilerplate = the 3 shared hashes; clean stats count
+    positions."""
+    rows = [
+        (1, _words(20), "en"),
+        (2, _words(20), "en"),
+        (3, _words(20, "u"), "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    ls = _collect(TP.line_stats(df, "doc_id"))
+    assert len(ls) == 3 and all(r[1] == 2 and r[2] == 2 for r in ls)
+    cs = {r[0]: r for r in _collect(TP.line_clean_stats(df, "doc_id"))}
+    assert cs[1] == (1, 3, 3, 0)
+    assert cs[2] == (2, 3, 3, 0)
+    assert cs[3] == (3, 3, 0, 1000)
+
+
+def test_line_clean_empty_doc_retains_1000(spark):
+    rows = [(1, "", "en"), (2, _words(9), "en"), (3, _words(9), "en")]
+    cs = {r[0]: r for r in _collect(TP.line_clean_stats(_mk_docs(spark, rows), "doc_id"))}
+    assert cs[1] == (1, 0, 0, 1000)
+    # 9 tokens = full line + 1-token partial line, both duplicated
+    assert cs[2] == (2, 2, 2, 0)
+
+
+def test_line_lanes_duckdb_parity(spark):
+    rows = [
+        (1, _words(20), "en"),
+        (2, _words(20), "en"),
+        (3, _words(17, "u"), "en"),  # 17 = 2 lines + 1-token partial
+        (4, "", "en"),
+        (5, _words(8), "en"),
+        (6, " ".join((_words(8), _words(8))), "en"),  # line repeated intra-doc
+    ]
+    df = _mk_docs(spark, rows)
+    for fn, sql in (
+        (TP.line_stats, TP.line_stats_sql("doc_id")),
+        (TP.line_clean_stats, TP.line_clean_stats_sql("doc_id")),
+    ):
+        assert _collect(fn(df, "doc_id")) == _duck(rows, sql)
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_deterministic_and_stratified(spark):
+    rows = [(i, f"t{i}", lang) for i, lang in enumerate(
+        ["en", "de", "fr", "es", "xx"] * 40
+    )]
+    df = _mk_docs(spark, rows)
+    out1 = _collect(TP.sample_stratified(df, "doc_id"))
+    out2 = _collect(TP.sample_stratified(df.repartition(7), "doc_id"))
+    assert out1 == out2  # partitioning-invariant determinism
+    langs = {r[1] for r in out1}
+    assert "xx" not in langs  # unknown language -> rate 0
+    # full-rate language keeps everything
+    full = _collect(TP.sample_stratified(df, "doc_id", rates={"xx": 1000}))
+    assert len(full) == 40 and all(r[1] == "xx" for r in full)
+    # rates order en > de > fr > es holds approximately on 40 ids each
+    by_lang = {}
+    for r in out1:
+        by_lang[r[1]] = by_lang.get(r[1], 0) + 1
+    assert by_lang.get("en", 0) > by_lang.get("es", 0)
+
+
+def test_sample_duckdb_parity(spark):
+    rows = [(i * 7 + 3, f"t{i}", l) for i, l in enumerate(["en", "de", "fr", "es", "it"] * 20)]
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.sample_stratified(df, "doc_id")) == _duck(
+        rows, TP.sample_stratified_sql("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_offsets_contiguous_and_boundary(spark):
+    """Single bucket (n_buckets=1): offsets are the running sum in id
+    order; a doc straddling the ctx boundary spans two chunks."""
+    rows = [(1, _words(500), "en"), (2, _words(30), "en"), (3, _words(600), "en")]
+    out = {r[0]: r for r in _collect(
+        TP.pack_chunks(_mk_docs(spark, rows), "doc_id", ctx=512, n_buckets=1)
+    )}
+    assert out[1] == (1, 0, 500, 0, 0, 0)
+    assert out[2] == (2, 0, 30, 500, 0, 1)      # straddles 512
+    assert out[3] == (3, 0, 600, 530, 1, 2)
+    # zero-token doc dropped
+    rows2 = rows + [(4, "", "en")]
+    out2 = _collect(TP.pack_chunks(_mk_docs(spark, rows2), "doc_id", ctx=512, n_buckets=1))
+    assert {r[0] for r in out2} == {1, 2, 3}
+
+
+def test_pack_chunks_buckets_independent(spark):
+    rows = [(i, _words(100 + i), "en") for i in range(16)]
+    out = _collect(TP.pack_chunks(_mk_docs(spark, rows), "doc_id", ctx=256, n_buckets=4))
+    # per bucket: offsets start at 0 and are contiguous in id order
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r[1], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for rows_b in by_bucket.values():
+        rows_b.sort()
+        off = 0
+        for r in rows_b:
+            assert r[3] == off
+            off += r[2]
+
+
+def test_pack_chunks_duckdb_parity(spark):
+    rows = [(i * 3 + 1, _words(40 + (i * 37) % 200), "en") for i in range(25)]
+    rows.append((100, "", "en"))
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.pack_chunks(df, "doc_id")) == _duck(
+        rows, TP.pack_chunks_sql("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# whitespace-class parity (the WS_CLASS discipline applies here too)
+# ---------------------------------------------------------------------------
+
+
+def test_trainprep_exotic_whitespace_parity(spark):
+    rows = [
+        (1, "a\x0bb\tc\rd\ne f " + _words(15), "en"),
+        (2, "a\x0bb\tc\rd\ne f " + _words(15), "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    for fn, sql in (
+        (TP.dup_span_stats, TP.dup_span_stats_sql("doc_id")),
+        (TP.line_clean_stats, TP.line_clean_stats_sql("doc_id")),
+        (TP.pack_chunks, TP.pack_chunks_sql("doc_id")),
+    ):
+        assert _collect(fn(df, "doc_id")) == _duck(rows, sql)
