@@ -173,6 +173,9 @@ _QUERY_ORDER = [
     # packing — all oracle-checked locally by scripts/driver_check.py
     "dedup_dup_spans", "web_line_stats", "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
+    # dedup_span_clean: the REMOVAL materialization of the dup-span lane
+    # (clean token stream per doc); stats fold is the in-window flagship
+    "dedup_span_clean",
 ]
 
 
@@ -670,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["train_pack_chunks"] = lambda spark, sf: TP.pack_chunks(
         _docs(spark, sf), ID
     )
+    q["dedup_span_clean"] = lambda spark, sf: TP.span_clean_text(
+        _docs(spark, sf), ID
+    )
 
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
@@ -948,5 +954,6 @@ FROM (
         "web_line_clean_stats": TP.line_clean_stats_sql(ID),
         "corpus_sample_stratified": TP.sample_stratified_sql(ID),
         "train_pack_chunks": TP.pack_chunks_sql(ID),
+        "dedup_span_clean": TP.span_clean_text_sql(ID),
     }
     return o

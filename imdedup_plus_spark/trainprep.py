@@ -300,6 +300,92 @@ SELECT d.{id_col},
 FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}"""
 
 
+def span_clean_text(
+    docs: DataFrame,
+    id_col: str,
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the duplicated-span REMOVAL: per document, the token
+    stream with every ``dup_ngram_spans`` interval cut out, re-joined
+    with single spaces (the output is a normalized token stream — the
+    tokenizer's whitespace collapse is deliberate and documented).
+    Returns (doc_id, n_tokens, n_kept_tokens, clean_text). Documents
+    with no duplicated spans pass through (normalized) unchanged.
+
+    Plan shape: the spans-per-doc list is a groupBy fold of the span
+    lane (O(spans-per-doc) elements, bounded by doc length), joined back
+    to the corpus on id — the token filter is a pure JVM higher-order
+    expression, no Python, no extra shuffle beyond the span lane's own.
+    """
+    spans = dup_ngram_spans(docs, id_col, window, min_count)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = docs.select(
+        id_col, F.expr(tokens_expr(text_col)).alias("tokens")
+    )
+    kept = (
+        "CASE WHEN spans IS NULL THEN tokens ELSE "
+        "transform(filter(transform(tokens, (t, i) -> struct(t AS t, i AS i)), "
+        "x -> NOT exists(spans, s -> x.i >= s.span_start AND x.i < s.span_end)), "
+        "x -> x.t) END"
+    )
+    return (
+        base.join(span_lists, id_col, "left")
+        .select(
+            id_col,
+            F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+            F.expr(kept).alias("kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("CAST(size(kept) AS BIGINT)").alias("n_kept_tokens"),
+            F.expr("array_join(kept, ' ')").alias("clean_text"),
+        )
+    )
+
+
+def span_clean_text_sql(
+    id_col: str,
+    table: str = "documents",
+    window: int = DUP_NGRAM,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of ``span_clean_text``. DuckDB lambdas capture outer
+    lambda variables, so the not-inside-any-span predicate is the same
+    nested-lambda filter as Spark's ``exists``."""
+    return f"""{_dup_spans_ctes(id_col, table, window, min_count)},
+span_lists AS (
+  SELECT id, list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM spans GROUP BY id
+),
+toks AS (
+  SELECT {id_col} AS id, {tokens_sql('text')} AS tokens FROM {table}
+),
+cleaned AS (
+  SELECT t.id, t.tokens,
+    CASE WHEN sl.spans IS NULL THEN t.tokens ELSE
+      list_transform(
+        list_filter(generate_series(1, len(t.tokens)),
+          i -> len(list_filter(sl.spans,
+                 s -> i - 1 >= s.s AND i - 1 < s.e)) = 0),
+        i -> t.tokens[i])
+    END AS kept
+  FROM toks t LEFT JOIN span_lists sl ON sl.id = t.id
+)
+SELECT id AS {id_col},
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+       -- DuckDB's array_to_string of an EMPTY list is NULL (Spark
+       -- array_join gives ''): a fully-removed document has empty clean
+       -- text in both engines
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM cleaned"""
+
+
 # ---------------------------------------------------------------------------
 # 2. test-set decontamination (13-gram overlap vs a benchmark table)
 # ---------------------------------------------------------------------------

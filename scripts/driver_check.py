@@ -63,6 +63,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_corr}/{t}.parquet'")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # optional argv name filters (substring match) for quick iteration,
+    # e.g. `python scripts/driver_check.py span_clean pack`
+    if len(sys.argv) > 1:
+        pats = sys.argv[1:]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

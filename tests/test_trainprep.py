@@ -101,6 +101,38 @@ def test_dup_spans_duckdb_parity_adversarial(spark):
         assert _collect(fn(df, "doc_id")) == _duck(rows, sql)
 
 
+def test_span_clean_text_semantics(spark):
+    """Exact-dup pair -> both fully removed (empty clean text); a doc
+    with a duplicated prefix keeps exactly its unique suffix; a doc with
+    no duplicated spans passes through (whitespace-normalized)."""
+    run = _words(20)
+    rows = [
+        (1, run, "en"),
+        (2, run, "en"),
+        (3, f"{run} {_words(6, 'u')}", "en"),
+        (4, "solo  doc\twith   messy whitespace", "en"),
+    ]
+    out = {r[0]: r for r in _collect(TP.span_clean_text(_mk_docs(spark, rows), "doc_id"))}
+    assert out[1] == (1, 20, 0, "")
+    assert out[2] == (2, 20, 0, "")
+    assert out[3] == (3, 26, 6, _words(6, "u"))
+    assert out[4] == (4, 5, 5, "solo doc with messy whitespace")
+
+
+def test_span_clean_text_duckdb_parity(spark):
+    rows = [
+        (1, _words(20), "en"),
+        (2, _words(20), "en"),
+        (3, f"{_words(20)} {_words(6, 'u')}", "en"),
+        (4, "", "en"),
+        (5, _words(5), "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.span_clean_text(df, "doc_id")) == _duck(
+        rows, TP.span_clean_text_sql("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
