@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
 from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
+from imdedup_plus_spark import trainprep as TP
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
 from imdedup_plus_spark.session import get_spark
 
@@ -121,6 +122,9 @@ def main() -> None:
         ("verify_pairs_kernel over the BUCKETED signature store (the stable wide side is never reshuffled: its scans expose the bucket HashPartitioning, Exchanges remain only on the pair side)", ver_b),
         ("distinct_shingle_estimate_kernel (KMV: mapInPandas bottom-k partials — <=k rows per chunk — then the only exchange is over the tiny partial set; the shingle universe is never shuffled)", M.distinct_shingle_estimate_kernel(sig_k)),
         ("cluster_keepers (argmax survivor per cluster: partial max_by aggregate BEFORE the exchange — a mega cluster ships one candidate row per task, NOT its membership — then ShuffledHashJoin join-back; NO per-cluster row_number window sort anywhere in the plan)", keepers),
+        ("dup_span_stats (Lee-et-al duplicated spans: ONE exchange for the n-gram frequency agg — partial HashAggregate before it — freq set broadcast back, ONE exchange+sort on id shared by BOTH island windows, per-doc aggs reuse the id partitioning)", TP.dup_span_stats(docs, "doc_id")),
+        ("decontaminate (benchmark n-gram set is the BroadcastExchange side of the hit join — zero corpus shuffle against the benchmark)", TP.decontaminate(docs, "doc_id")),
+        ("pack_chunks (one window per pack bucket: a single exchange on pack_bucket, never a global sort)", TP.pack_chunks(docs, "doc_id")),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
