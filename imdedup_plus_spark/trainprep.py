@@ -143,11 +143,64 @@ def _pos_ngrams_cte(window: int) -> str:
 # ---------------------------------------------------------------------------
 
 
+def ngram_positions_kernel(
+    docs: DataFrame,
+    id_col: str,
+    window: int = DUP_NGRAM,
+    text_col: str = "text",
+) -> DataFrame:
+    """SCALE path for ``_pos_ngrams``: (id, pos, h) via the signature
+    kernel's chunked-flat numpy primitives (codepoint-array tokenizer +
+    Horner hashes + flat shingling — zero per-token Python), bit-identical
+    to ``posexplode(shingles_expr(...))`` (parity-tested). Same rationale
+    as ``signatures.signature_kernel_arrow``: the nested higher-order
+    expressions are interpreted JVM-side and stop scaling past ~8 threads
+    per JVM; Python workers are separate processes."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import (
+        _arange_segments,
+        _flat_shingles,
+        _flat_word_hashes,
+        _iter_text_chunks,
+    )
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for texts, ids in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                wh_all, wdoc, n_tok = _flat_word_hashes(texts)
+                keep = n_tok >= window
+                if not keep.any():
+                    continue
+                wh_k = wh_all[keep[wdoc]] if not keep.all() else wh_all
+                n_tok_k = n_tok[keep]
+                ids_k = np.asarray(ids, dtype=np.int64)[keep]
+                sh, _, n_sh = _flat_shingles(wh_k, n_tok_k, window)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(ids_k, n_sh),
+                        "pos": _arange_segments(n_sh),
+                        "h": sh.astype(np.int64),
+                    }
+                )
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(fn, schema=f"{id_col} long, pos long, h long")
+        .withColumnRenamed(id_col, "id")
+    )
+
+
 def dup_ngram_spans(
     docs: DataFrame,
     id_col: str,
     window: int = DUP_NGRAM,
     min_count: int = 2,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -160,9 +213,15 @@ def dup_ngram_spans(
     Returns (doc_id, span_start, span_end, span_tokens); token-space,
     end-exclusive. Plan: one groupBy(h) with map-side combine, a
     same-key join back (partitioning reuse), then per-doc windows over
-    O(doc-length) rows.
+    O(doc-length) rows. ``use_kernel=True`` swaps the n-gram generation
+    to the Arrow kernel (bit-identical; the production path at scale,
+    same contract as the signature kernel twin).
     """
-    ng = _pos_ngrams(docs, id_col, window)
+    ng = (
+        ngram_positions_kernel(docs, id_col, window)
+        if use_kernel
+        else _pos_ngrams(docs, id_col, window)
+    )
     freq = ng.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(
         F.col("cnt") >= min_count
     )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from imdedup_plus_spark import trainprep as TP
 
 
@@ -81,6 +83,45 @@ def test_dup_spans_short_and_empty_docs_zero_rows(spark):
     assert stats[1] == (1, 5, 0, 0, 0)
     assert stats[2] == (2, 0, 0, 0, 0)
     assert stats[3] == (3, 40, 0, 0, 0)
+
+
+def test_ngram_kernel_bit_identical_to_expr_path(spark, fixture_corpus):
+    """The Arrow n-gram-positions kernel must equal the HOF expression
+    path row-for-row on the fixture corpus AND on adversarial texts
+    (unicode whitespace, short docs, empty docs)."""
+    docs = fixture_corpus.select(
+        F.col("url").alias("doc_id_s"), "text"
+    ).withColumn("doc_id", F.abs(F.hash("doc_id_s")).cast("long")).drop(
+        "doc_id_s"
+    )
+    a = sorted(
+        tuple(r) for r in TP._pos_ngrams(docs, "doc_id", 13).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in TP.ngram_positions_kernel(docs, "doc_id", 13).collect()
+    )
+    assert a == b and len(a) > 0
+
+    rows = [
+        (1, "a\x0bb\tc\rd\ne f \xa0unicodews " + _words(15), "en"),
+        (2, "", "en"),
+        (3, _words(12), "en"),
+        (4, _words(13), "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    a = sorted(tuple(r) for r in TP._pos_ngrams(df, "doc_id", 13).collect())
+    b = sorted(
+        tuple(r) for r in TP.ngram_positions_kernel(df, "doc_id", 13).collect()
+    )
+    assert a == b
+    # and the full span lane through the kernel equals the SQL lane
+    s1 = sorted(tuple(r) for r in TP.dup_ngram_spans(df, "doc_id").collect())
+    s2 = sorted(
+        tuple(r)
+        for r in TP.dup_ngram_spans(df, "doc_id", use_kernel=True).collect()
+    )
+    assert s1 == s2
 
 
 def test_dup_spans_duckdb_parity_adversarial(spark):
