@@ -1,0 +1,102 @@
+"""Corpus-scale evidence for the training-data prep lanes (trainprep.py).
+
+Runs the three heavy lanes end-to-end on the planted fixture corpus
+(same generator as recall_check.py) and prints one JSON line per lane
+plus a summary: wall seconds, docs/sec, and result folds that prove the
+lane did real work (spans found, boilerplate lines, contamination hits).
+
+Usage: python scripts/bench_trainprep.py [n_base] [master]
+  n_base  variant groups (default 300000 -> 1.11M docs)
+  master  spark master (default local[16])
+
+dup_span_stats runs through the Arrow n-gram kernel (the production
+path); the lane's one heavy shuffle is the n-gram frequency aggregation.
+Run on a quiet host (no overlapping Spark work) and paste the output
+into BENCH/BASELINE.md with the host calibration state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from imdedup_plus_spark import fixtures as FX, trainprep as TP
+from imdedup_plus_spark.session import get_spark
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    master = sys.argv[2] if len(sys.argv) > 2 else "local[16]"
+    spark = get_spark(
+        app_name="bench_trainprep",
+        master=master,
+        shuffle_partitions=256 if n_base <= 300000 else 1024,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (
+        FX.generate_documents(spark, n_base=n_base)
+        .select(F.abs(F.hash("url")).cast("long").alias("doc_id"), "text", "lang")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    out: dict[str, dict] = {}
+
+    # fold inline (no collect of per-doc rows): corpus totals only
+    t0 = time.time()
+    spans = TP.dup_ngram_spans(docs, "doc_id", use_kernel=True)
+    row = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.countDistinct("doc_id").alias("docs_with_spans"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["dup_spans_kernel"] = {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_spans": row["n_spans"],
+        "dup_tokens": int(row["dup_tokens"] or 0),
+        "docs_with_spans": row["docs_with_spans"],
+    }
+    print("RESULT " + json.dumps({"lane": "dup_spans_kernel", **out["dup_spans_kernel"]}), flush=True)
+
+    t0 = time.time()
+    lc = TP.line_clean_stats(docs, "doc_id").agg(
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_dup_lines").alias("n_dup_lines"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["line_clean"] = {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_lines": int(lc["n_lines"]),
+        "n_dup_lines": int(lc["n_dup_lines"]),
+    }
+    print("RESULT " + json.dumps({"lane": "line_clean", **out["line_clean"]}), flush=True)
+
+    t0 = time.time()
+    dc = TP.decontaminate(docs, "doc_id").agg(
+        F.sum("contaminated").alias("n_contaminated"),
+        F.sum("n_hit_ngrams").alias("n_hits"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["decontaminate"] = {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_contaminated": int(dc["n_contaminated"]),
+        "n_hits": int(dc["n_hits"]),
+    }
+    print("RESULT " + json.dumps({"lane": "decontaminate", **out["decontaminate"]}), flush=True)
+
+    print(json.dumps({"n_base": n_base, "n_docs": n_docs, "master": master, "lanes": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
