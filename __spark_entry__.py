@@ -104,7 +104,7 @@ _QUERY_ORDER = [
     # dedup core (stage 1 + verification + clustering)
     "doc_filter_valid", "dedup_minhash_signatures", "dedup_lsh_bands",
     "dedup_band_buckets", "dedup_candidate_pairs",
-    "dedup_candidate_pairs_hotwin", "dedup_verified_pairs",
+    "dedup_verified_pairs",
     "dedup_best_base", "dedup_unique_docs", "dedup_clusters",
     "dedup_incremental_clusters", "dedup_global_metrics",
     "dedup_distinct_estimate",
@@ -115,21 +115,31 @@ _QUERY_ORDER = [
     "web_recrawl_dedup",
     "dedup_exact_groups", "text_token_stats", "text_bpe_tokens",
     "text_quality_score", "text_lang_id", "text_simhash",
-    "dedup_simhash_pairs", "dedup_embedding_cosine",
+    "dedup_embedding_cosine",
     # training-data prep (round 4, trainprep.py): cross-document
     # duplicated-span removal (Lee et al. 2022 — the corpus-global analog
-    # of the reference's per-pair block matching, index.c:38-267) and
-    # benchmark decontamination. Rotated INTO the window displacing
-    # mm_jpeg_ycbcr_stats (variant projection of the in-window
-    # mm_jpeg_dct_stats — same codec, same decode) and mm_png_resize (a
-    # second projection of the PNG decode lane whose primary row
-    # mm_png_roundtrip stays in-window). Ledger: BENCH/BASELINE.md.
-    "dedup_dup_span_stats", "dedup_decontaminate",
+    # of the reference's per-pair block matching, index.c:38-267), the
+    # per-span rows + clean-stream materialization behind it, benchmark
+    # decontamination, line-level boilerplate removal, deterministic
+    # stratified sampling, and sequence packing. ALL seven rotated INTO
+    # the window in round 4 so every genuinely new operator holds an
+    # official green row (the r03 verdict's never-checked critique).
+    # Displaced (all r03-official-green derived/variant lanes, ledger in
+    # BENCH/BASELINE.md §rotation): mm_jpeg_ycbcr_stats, mm_png_resize,
+    # dedup_candidate_pairs_hotwin, dedup_jpeg_dct_pairs, emb_cosine_topk,
+    # tpch_top_orders_per_segment, orders_monthly_revenue,
+    # dedup_simhash_pairs (derived band-join of the in-window
+    # text_simhash lane; displaced by text_repetition_stats, the Gopher
+    # intra-document repetition gate).
+    "dedup_dup_span_stats", "dedup_dup_spans", "dedup_span_clean",
+    "dedup_decontaminate", "web_line_clean_stats",
+    "corpus_sample_stratified", "train_pack_chunks",
+    "text_repetition_stats",
     # multimodal + codec lanes
     "mm_binary_metadata", "mm_html_extract", "mm_png_roundtrip",
     "mm_frame_sample", "mm_jpeg_dct_stats",
     "dedup_jpeg_dct_signatures",
-    "dedup_jpeg_dct_pairs", "mm_wav_features",
+    "mm_wav_features",
     # chunking
     "dedup_cdc_chunks",
     # web mirror matrix + cluster keeper selection — rotated INTO the
@@ -140,12 +150,14 @@ _QUERY_ORDER = [
     # dedup_cdc_chunks), now in the tail. Rotation ledger:
     # BENCH/BASELINE.md §rotation.
     "web_domain_dup_stats", "dedup_cluster_keepers",
-    # embeddings / ANN
-    "emb_cosine_topk", "emb_lsh_ann_topk", "emb_ivf_ann_topk",
-    # relational / temporal / streaming (ALL inside the window — round-2's
-    # last 5 were never driver-checked)
-    "tpch_pricing_summary", "tpch_top_orders_per_segment",
-    "events_sessionize", "events_json_extract", "orders_monthly_revenue",
+    # embeddings / ANN (the two scale lanes; the exact-cosine baseline is
+    # r01+r02+r03-official-green and now in the tail)
+    "emb_lsh_ann_topk", "emb_ivf_ann_topk",
+    # relational / temporal / streaming: one official row per §2.2
+    # category stays in-window (rollup covers grouped revenue; the
+    # segment-window demo and monthly projection are r03-green, tail)
+    "tpch_pricing_summary",
+    "events_sessionize", "events_json_extract",
     "orders_rollup_revenue", "events_windowed_counts", "events_orders_asof",
     # ---- position 51+: pure projections / folds / same-lane variants of
     # checked lanes (dedup_gear_chunks = dedup_cdc_chunks's lane with the
@@ -154,6 +166,21 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
     "dedup_similarity_histogram", "dedup_gear_chunks",
+    # dedup_candidate_pairs_hotwin: the checked candidate lane with the
+    # sorted-neighborhood hot-window tier enabled; r03-official-green,
+    # rotated out in round 4 for the trainprep lanes
+    "dedup_candidate_pairs_hotwin",
+    # dedup_jpeg_dct_pairs: derived join over the in-window
+    # dedup_jpeg_dct_signatures; r03-official-green, rotated out r4
+    "dedup_jpeg_dct_pairs",
+    # emb_cosine_topk: TEST-ONLY exact O(n^2) baseline (contract-guarded);
+    # official-green in r01+r02+r03; its scale lanes (LSH/IVF) hold the
+    # in-window rows
+    "emb_cosine_topk",
+    # tpch_top_orders_per_segment / orders_monthly_revenue:
+    # r03-official-green relational variants; tpch_pricing_summary and
+    # orders_rollup_revenue keep the in-window rows for their categories
+    "tpch_top_orders_per_segment", "orders_monthly_revenue",
     # emb_ivf_cells: observability projection of the IVF codebook; the IVF
     # lane's official row is emb_ivf_ann_topk (in the window)
     "emb_ivf_cells",
@@ -165,17 +192,15 @@ _QUERY_ORDER = [
     "dedup_cdc_shared_chunks",
     # mm_png_resize / mm_jpeg_ycbcr_stats: r03-official-green variant
     # projections of the in-window PNG/JPEG decode lanes, rotated out in
-    # round 4 for the two trainprep flagships above
+    # round 4 for the trainprep flagships above
     "mm_png_resize", "mm_jpeg_ycbcr_stats",
-    # trainprep round-4 tail: duplicated-span explode (the per-span rows
-    # behind the in-window dedup_dup_span_stats fold), line-level
-    # boilerplate lanes, deterministic stratified sampling, sequence
-    # packing — all oracle-checked locally by scripts/driver_check.py
-    "dedup_dup_spans", "web_line_stats", "web_line_clean_stats",
-    "corpus_sample_stratified", "train_pack_chunks",
-    # dedup_span_clean: the REMOVAL materialization of the dup-span lane
-    # (clean token stream per doc); stats fold is the in-window flagship
-    "dedup_span_clean",
+    # web_line_stats: pre-clean projection of the in-window
+    # web_line_clean_stats lane (same line hashes, no removal fold)
+    "web_line_stats",
+    # dedup_simhash_pairs: derived band-join over the in-window
+    # text_simhash lane; r01+r02+r03-official-green, rotated out in
+    # round 4 for text_repetition_stats
+    "dedup_simhash_pairs",
 ]
 
 
@@ -676,6 +701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_span_clean"] = lambda spark, sf: TP.span_clean_text(
         _docs(spark, sf), ID
     )
+    q["text_repetition_stats"] = lambda spark, sf: TP.repetition_stats(
+        _docs(spark, sf), ID
+    )
 
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
@@ -955,5 +983,6 @@ FROM (
         "corpus_sample_stratified": TP.sample_stratified_sql(ID),
         "train_pack_chunks": TP.pack_chunks_sql(ID),
         "dedup_span_clean": TP.span_clean_text_sql(ID),
+        "text_repetition_stats": TP.repetition_stats_sql(ID),
     }
     return o

@@ -225,7 +225,16 @@ def dup_ngram_spans(
     freq = ng.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(
         F.col("cnt") >= min_count
     )
-    dup = ng.join(freq.select("h"), "h")
+    # shuffle_hash on the FILTERED-AGGREGATE side: the n-gram side is a
+    # mapInPandas explode whose plan-time size Catalyst estimates from
+    # its (tiny, checkpointed) input, so without the hint the initial
+    # plan BROADCASTS the 300-rows-per-doc gram stream — measured crash
+    # at 1.11M docs ("HashedRelation larger than 8G"; AQE cannot undo a
+    # broadcast chosen at initial planning because no shuffle stage
+    # boundary precedes it). The hint pins a ShuffledHashJoin building
+    # on the dup-hash side (distinct hashes / shuffle_partitions rows
+    # per task), probing the gram stream without sorting it.
+    dup = ng.join(freq.select("h").hint("shuffle_hash"), "h")
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + window).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -322,7 +331,10 @@ def dup_span_stats(
         id_col,
         F.expr(f"CAST(size({tokens_expr(text_col)}) AS BIGINT)").alias("n_tokens"),
     )
-    return base.join(per_doc, id_col, "left").select(
+    # hint rationale: see dup_ngram_spans — never let the planner's
+    # static estimate broadcast a corpus-sized side; per_doc is one row
+    # per spanned doc, bounded per task after the id shuffle
+    return base.join(per_doc.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         "n_tokens",
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
@@ -391,8 +403,11 @@ def span_clean_text(
         "x -> NOT exists(spans, s -> x.i >= s.span_start AND x.i < s.span_end)), "
         "x -> x.t) END"
     )
+    # hint rationale: see dup_ngram_spans — base carries the full token
+    # array per doc; a planner-chosen broadcast of EITHER side is
+    # corpus-sized, so pin the build to the one-row-per-spanned-doc side
     return (
-        base.join(span_lists, id_col, "left")
+        base.join(span_lists.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
@@ -503,10 +518,12 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )
+    # hint rationale: see dup_ngram_spans (planner static-estimate
+    # broadcast hazard); both aggregates are one row per doc
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .join(hits, "id", "left")
+        .join(per_doc.hint("shuffle_hash"), "id", "left")
+        .join(hits.hint("shuffle_hash"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_doc_ngrams", F.lit(0)).alias("n_doc_ngrams"),
@@ -628,14 +645,18 @@ def line_clean_stats(
         .where(F.col("nd") >= min_docs)
         .select("lh")
     )
-    per_doc = lines.join(boiler, "lh").groupBy("id").agg(
+    # hint rationale: see dup_ngram_spans — the exploded line stream's
+    # plan-time size is underestimated; pin the boilerplate-hash set as
+    # the ShuffledHashJoin build side (distinct boilerplate hashes per
+    # task), never broadcast/sort the line stream
+    per_doc = lines.join(boiler.hint("shuffle_hash"), "lh").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_dup_lines")
     )
     n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(n_lines, "id", "left")
-        .join(per_doc, "id", "left")
+        .join(n_lines.hint("shuffle_hash"), "id", "left")
+        .join(per_doc.hint("shuffle_hash"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
@@ -809,3 +830,185 @@ SELECT id AS {id_col}, pack_bucket, n_tokens, stream_offset,
        CAST(floor(stream_offset / {ctx}.0) AS BIGINT) AS chunk_first,
        CAST(floor((stream_offset + n_tokens - 1) / {ctx}.0) AS BIGINT) AS chunk_last
 FROM cum"""
+
+
+# ---------------------------------------------------------------------------
+# 6. intra-document repetition stats (Gopher quality rules)
+# ---------------------------------------------------------------------------
+
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1), in permille.
+#: A document FAILS the rule when any metric exceeds its threshold.
+GOPHER_DUP_LINE = 300
+GOPHER_DUP_PARA = 300
+GOPHER_TOP_NGRAM = {2: 200, 3: 180, 4: 160}
+#: paragraph = 4 pseudo-lines (the synthetic corpus carries no newlines;
+#: on real web text swap the splitters exactly as for LINE_TOKENS).
+PARA_TOKENS = 4 * LINE_TOKENS
+
+
+def _run_max_expr(arr: str) -> str:
+    """Spark: max multiplicity of any value in a BIGINT array, computed
+    per row as the longest run of the SORTED array — O(d log d), no
+    shuffle, no explode. Values are non-negative hashes so -1 is a safe
+    run seed; the empty array folds to 0."""
+    one = "CAST(1 AS BIGINT)"
+    run = f"IF(x = acc.prev, acc.run + {one}, {one})"
+    return (
+        f"aggregate(array_sort({arr}), "
+        f"named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT), "
+        f"'best', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'best', greatest(acc.best, {run})), "
+        f"acc -> acc.best)"
+    )
+
+
+def _dup_frac_permille(n: str, n_distinct: str) -> str:
+    """floor(1000 * duplicated / total) permille, identical text in both
+    compilers (the engine's floor-not-CAST ratio rule)."""
+    return (
+        f"CASE WHEN {n} > 0 THEN CAST(floor(1000.0 * ({n} - {n_distinct}) "
+        f"/ {n}) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def _top_frac_permille(cnt: str, width: int, n_tokens: str) -> str:
+    """floor(1000 * min(cnt*width, n_tokens) / n_tokens) permille — the
+    'fraction of tokens inside the most common width-gram' metric,
+    capped at 1000 because overlapping occurrences can cover a token
+    more than once."""
+    return (
+        f"CASE WHEN {n_tokens} > 0 THEN CAST(floor(1000.0 * "
+        f"least({cnt} * {width}, {n_tokens}) / {n_tokens}) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+_REP_PASS = (
+    f"CASE WHEN dup_line_permille <= {GOPHER_DUP_LINE} "
+    f"AND dup_para_permille <= {GOPHER_DUP_PARA} "
+    f"AND top2_permille <= {GOPHER_TOP_NGRAM[2]} "
+    f"AND top3_permille <= {GOPHER_TOP_NGRAM[3]} "
+    f"AND top4_permille <= {GOPHER_TOP_NGRAM[4]} "
+    f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str,
+    line_tokens: int = LINE_TOKENS,
+    para_tokens: int = PARA_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document intra-document repetition metrics — the Gopher
+    repetition-removal rules (Rae et al. 2021, "Scaling Language Models:
+    ... Gopher", Table A1), the standard pre-training quality gate that
+    complements the corpus-global lanes (``dup_ngram_spans`` finds text
+    repeated ACROSS documents; this finds text a document repeats WITHIN
+    itself — scraper loops, pagination artifacts, keyword stuffing):
+
+    * ``dup_line_permille`` / ``dup_para_permille`` — fraction of
+      (pseudo-)lines / paragraphs that are duplicates of an earlier one.
+    * ``top{2,3,4}_permille`` — fraction of tokens covered by the most
+      frequent 2/3/4-gram (capped at 1000; overlapping occurrences).
+    * ``repetition_pass`` — 1 iff every metric is at or below its Gopher
+      threshold (30%/30%/20%/18%/16%).
+
+    100 TB shape: ZERO shuffle — every metric is a per-row fold over the
+    document's own token-hash array (dup fractions via
+    ``array_distinct``, top-gram multiplicity via a sorted-run fold,
+    ``_run_max_expr``), so the lane is a narrow map over the text scan
+    and composes with any partitioning. The reference has no analog
+    (it dedups across files only); this is the within-file counterpart
+    of ``index.c``'s repeated-block detection.
+    """
+    wh = _wh_df(docs, id_col, text_col)
+    base = wh.select(
+        "id",
+        F.expr("CAST(size(wh) AS BIGINT)").alias("n_tokens"),
+        F.expr(line_hashes_expr("wh", line_tokens)).alias("lines"),
+        F.expr(line_hashes_expr("wh", para_tokens)).alias("paras"),
+        *[
+            F.expr(_run_max_expr(shingles_expr("wh", n))).alias(f"top{n}_cnt")
+            for n in (2, 3, 4)
+        ],
+    )
+    stats = base.select(
+        "id",
+        "n_tokens",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            _dup_frac_permille("size(lines)", "size(array_distinct(lines))")
+        ).alias("dup_line_permille"),
+        F.expr(
+            _dup_frac_permille("size(paras)", "size(array_distinct(paras))")
+        ).alias("dup_para_permille"),
+        *[
+            F.expr(
+                _top_frac_permille(f"top{n}_cnt", n, "n_tokens")
+            ).alias(f"top{n}_permille")
+            for n in (2, 3, 4)
+        ],
+    )
+    return stats.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_lines",
+        "dup_line_permille",
+        "dup_para_permille",
+        "top2_permille",
+        "top3_permille",
+        "top4_permille",
+        F.expr(_REP_PASS).alias("repetition_pass"),
+    )
+
+
+def repetition_stats_sql(
+    id_col: str,
+    table: str = "documents",
+    line_tokens: int = LINE_TOKENS,
+    para_tokens: int = PARA_TOKENS,
+) -> str:
+    """DuckDB twin of ``repetition_stats``. The permille expressions are
+    the same strings the Spark form compiles; only the max-multiplicity
+    computation differs mechanically (DuckDB's ``list_reduce`` has no
+    init value, so the oracle counts via unnest + GROUP BY — exact
+    integer counts either way)."""
+    tops = ", ".join(
+        f"""g{n} AS (SELECT id, u AS g FROM
+  (SELECT id, unnest({shingles_sql('wh', n)}) AS u FROM wh)),
+t{n} AS (SELECT id, CAST(max(cnt) AS BIGINT) AS top_cnt FROM
+  (SELECT id, g, count(*) AS cnt FROM g{n} GROUP BY id, g) GROUP BY id)"""
+        for n in (2, 3, 4)
+    )
+    top_cols = ", ".join(
+        "\n       "
+        + _top_frac_permille(f"coalesce(t{n}.top_cnt, 0)", n, "b.n_tokens")
+        + f" AS top{n}_permille"
+        for n in (2, 3, 4)
+    )
+    return f"""WITH {_wh_cte(id_col, table)},
+base AS (
+  SELECT id, CAST(len(wh) AS BIGINT) AS n_tokens,
+         {line_hashes_sql('wh', line_tokens)} AS lines,
+         {line_hashes_sql('wh', para_tokens)} AS paras
+  FROM wh
+),
+{tops},
+stats AS (
+  SELECT b.id, b.n_tokens,
+       CAST(len(b.lines) AS BIGINT) AS n_lines,
+       {_dup_frac_permille('len(b.lines)', 'len(list_distinct(b.lines))')}
+         AS dup_line_permille,
+       {_dup_frac_permille('len(b.paras)', 'len(list_distinct(b.paras))')}
+         AS dup_para_permille,{top_cols}
+  FROM base b
+  LEFT JOIN t2 ON t2.id = b.id
+  LEFT JOIN t3 ON t3.id = b.id
+  LEFT JOIN t4 ON t4.id = b.id
+)
+SELECT id AS {id_col}, n_tokens, n_lines, dup_line_permille,
+       dup_para_permille, top2_permille, top3_permille, top4_permille,
+       {_REP_PASS} AS repetition_pass
+FROM stats"""

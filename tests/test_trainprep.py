@@ -355,3 +355,59 @@ def test_trainprep_exotic_whitespace_parity(spark):
         (TP.pack_chunks, TP.pack_chunks_sql("doc_id")),
     ):
         assert _collect(fn(df, "doc_id")) == _duck(rows, sql)
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition stats (Gopher rules)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    # doc 1: one token repeated 64x -> 8 identical lines (7/8 dup = 875),
+    # 2 identical paras (1/2 = 500), top-2gram count 63 covering
+    # min(126, 64) = all 64 tokens -> 1000 permille; FAILS the gate.
+    # doc 2: 64 distinct tokens -> zero dup lines/paras, top2 count 1
+    # covering 2/64 -> floor(31.25) = 31; PASSES.
+    # doc 3: empty -> all zeros, vacuously passes.
+    rows = [
+        (1, " ".join(["spam"] * 64), "en"),
+        (2, _words(64), "en"),
+        (3, "", "en"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in TP.repetition_stats(_mk_docs(spark, rows), "doc_id").collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 64, "n_lines": 8,
+        "dup_line_permille": 875, "dup_para_permille": 500,
+        "top2_permille": 1000, "top3_permille": 1000,
+        "top4_permille": 1000, "repetition_pass": 0,
+    }
+    assert out[2]["dup_line_permille"] == 0
+    assert out[2]["dup_para_permille"] == 0
+    assert out[2]["top2_permille"] == 31  # floor(1000*2/64)
+    assert out[2]["top3_permille"] == 46  # floor(1000*3/64)
+    assert out[2]["repetition_pass"] == 1
+    assert out[3] == {
+        "doc_id": 3, "n_tokens": 0, "n_lines": 0,
+        "dup_line_permille": 0, "dup_para_permille": 0,
+        "top2_permille": 0, "top3_permille": 0, "top4_permille": 0,
+        "repetition_pass": 1,
+    }
+
+
+def test_repetition_stats_duckdb_parity(spark):
+    rows = [
+        (1, " ".join(["spam"] * 64), "en"),
+        (2, _words(64), "en"),
+        (3, "", "en"),
+        (4, "one", "en"),                        # 1 token: no grams at all
+        (5, ("a b " * 40).strip(), "en"),        # alternating bigram storm
+        (6, _words(7) + " " + _words(7), "en"),  # doc shorter than one line x2
+        (7, "x \t x\nx  x " + _words(30), "en"), # whitespace zoo + repeats
+    ]
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.repetition_stats(df, "doc_id")) == _duck(
+        rows, TP.repetition_stats_sql("doc_id")
+    )
