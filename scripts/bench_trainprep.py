@@ -94,6 +94,21 @@ def main() -> None:
     }
     print("RESULT " + json.dumps({"lane": "decontaminate", **out["decontaminate"]}), flush=True)
 
+    t0 = time.time()
+    rep = TP.repetition_stats(docs, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("repetition_pass").alias("n_pass"),
+        F.sum("dup_line_permille").alias("sum_dup_line"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["repetition_stats"] = {
+        "sec": round(dt, 1),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_pass": int(rep["n_pass"]),
+        "sum_dup_line_permille": int(rep["sum_dup_line"]),
+    }
+    print("RESULT " + json.dumps({"lane": "repetition_stats", **out["repetition_stats"]}), flush=True)
+
     print(json.dumps({"n_base": n_base, "n_docs": n_docs, "master": master, "lanes": out}))
     spark.stop()
 
