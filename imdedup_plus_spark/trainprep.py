@@ -1012,3 +1012,151 @@ SELECT id AS {id_col}, n_tokens, n_lines, dup_line_permille,
        dup_para_permille, top2_permille, top3_permille, top4_permille,
        {_REP_PASS} AS repetition_pass
 FROM stats"""
+
+
+def repetition_stats_kernel(
+    docs: DataFrame,
+    id_col: str,
+    line_tokens: int = LINE_TOKENS,
+    para_tokens: int = PARA_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """SCALE path for ``repetition_stats``: the same metrics via the
+    signature kernel's flat numpy primitives — bit-identical to the SQL
+    form (parity-tested), zero per-token Python. Rationale as for
+    ``signature_kernel_arrow``: the SQL form's per-row higher-order
+    folds (array_sort + aggregate x3 gram widths + 2 line widths) are
+    interpreted JVM-side (measured 2614 docs/s at 1.11M docs on 16
+    threads); the kernel vectorizes across a cache-resident chunk of
+    docs. Still shuffle-free: one mapInPandas over the pruned scan."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import (
+        _arange_segments,
+        _flat_shingles,
+        _flat_word_hashes,
+        _iter_text_chunks,
+    )
+
+    M = np.uint64(HASH_MOD)
+    SM = np.uint64(SHINGLE_MULT)
+
+    def _group_hashes(wh, n_tok, width):
+        """Per-doc fixed-``width`` token-group (pseudo-line) Horner
+        hashes, trailing group clamped — the kernel twin of
+        ``line_hashes_expr``. Returns (group hashes doc-major, per-doc
+        group counts)."""
+        n_groups = np.where(n_tok > 0, (n_tok - 1) // width + 1, 0)
+        total = int(n_groups.sum())
+        if total == 0:
+            return np.empty(0, np.uint64), n_groups
+        tstarts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        keep = n_groups > 0
+        within = _arange_segments(n_groups[keep])
+        gstart = np.repeat(tstarts[keep], n_groups[keep]) + within * width
+        doc_end = np.repeat(tstarts[keep] + n_tok[keep], n_groups[keep])
+        glen = np.minimum(width, doc_end - gstart)
+        acc = np.zeros(total, dtype=np.uint64)
+        for j in range(width):
+            m = glen > j
+            acc[m] = (acc[m] * SM + wh[gstart[m] + j]) % M
+        return acc, n_groups
+
+    def _distinct_per_doc(gh, n_groups, ndoc):
+        """len(array_distinct(...)) per doc: unique (doc, hash) pairs."""
+        if gh.size == 0:
+            return np.zeros(ndoc, dtype=np.int64)
+        gdoc = np.repeat(
+            np.arange(ndoc, dtype=np.uint64), n_groups.astype(np.int64)
+        )
+        uniq = np.unique((gdoc << np.uint64(31)) | gh)
+        return np.bincount(
+            (uniq >> np.uint64(31)).astype(np.int64), minlength=ndoc
+        )
+
+    def _top_count_per_doc(wh, wdoc, n_tok, win, ndoc):
+        """max n-gram multiplicity per doc — the kernel twin of
+        ``_run_max_expr`` (sorted-run max over (doc, gram) keys)."""
+        top = np.zeros(ndoc, dtype=np.int64)
+        keep = n_tok >= win
+        if not keep.any():
+            return top
+        wh_k = wh[keep[wdoc]] if not keep.all() else wh
+        sh, _, n_sh = _flat_shingles(wh_k, n_tok[keep], win)
+        if sh.size == 0:
+            return top
+        sdoc = np.repeat(
+            np.flatnonzero(keep).astype(np.uint64), n_sh.astype(np.int64)
+        )
+        sc = np.sort((sdoc << np.uint64(31)) | sh)
+        bounds = np.flatnonzero(sc[1:] != sc[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [sc.size]))
+        docs_of = (sc[starts] >> np.uint64(31)).astype(np.int64)
+        np.maximum.at(top, docs_of, ends - starts)
+        return top
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for texts, ids in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ndoc = len(texts)
+                wh, wdoc, n_tok = _flat_word_hashes(texts)
+                lines, n_lines = _group_hashes(wh, n_tok, line_tokens)
+                paras, n_paras = _group_hashes(wh, n_tok, para_tokens)
+                nd_lines = _distinct_per_doc(lines, n_lines, ndoc)
+                nd_paras = _distinct_per_doc(paras, n_paras, ndoc)
+                dup_line = np.where(
+                    n_lines > 0,
+                    (1000 * (n_lines - nd_lines)) // np.maximum(n_lines, 1),
+                    0,
+                )
+                dup_para = np.where(
+                    n_paras > 0,
+                    (1000 * (n_paras - nd_paras)) // np.maximum(n_paras, 1),
+                    0,
+                )
+                tops = {
+                    n: _top_count_per_doc(wh, wdoc, n_tok, n, ndoc)
+                    for n in (2, 3, 4)
+                }
+                top_pm = {
+                    n: np.where(
+                        n_tok > 0,
+                        (1000 * np.minimum(tops[n] * n, n_tok))
+                        // np.maximum(n_tok, 1),
+                        0,
+                    )
+                    for n in (2, 3, 4)
+                }
+                ok = (
+                    (dup_line <= GOPHER_DUP_LINE)
+                    & (dup_para <= GOPHER_DUP_PARA)
+                    & (top_pm[2] <= GOPHER_TOP_NGRAM[2])
+                    & (top_pm[3] <= GOPHER_TOP_NGRAM[3])
+                    & (top_pm[4] <= GOPHER_TOP_NGRAM[4])
+                ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.asarray(ids, dtype=np.int64),
+                        "n_tokens": n_tok,
+                        "n_lines": n_lines.astype(np.int64),
+                        "dup_line_permille": dup_line.astype(np.int64),
+                        "dup_para_permille": dup_para.astype(np.int64),
+                        "top2_permille": top_pm[2].astype(np.int64),
+                        "top3_permille": top_pm[3].astype(np.int64),
+                        "top4_permille": top_pm[4].astype(np.int64),
+                        "repetition_pass": ok,
+                    }
+                )
+
+    schema = (
+        f"{id_col} long, n_tokens long, n_lines long, "
+        "dup_line_permille long, dup_para_permille long, "
+        "top2_permille long, top3_permille long, top4_permille long, "
+        "repetition_pass long"
+    )
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)

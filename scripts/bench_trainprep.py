@@ -95,7 +95,7 @@ def main() -> None:
     print("RESULT " + json.dumps({"lane": "decontaminate", **out["decontaminate"]}), flush=True)
 
     t0 = time.time()
-    rep = TP.repetition_stats(docs, "doc_id").agg(
+    rep = TP.repetition_stats_kernel(docs, "doc_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("repetition_pass").alias("n_pass"),
         F.sum("dup_line_permille").alias("sum_dup_line"),

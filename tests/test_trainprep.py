@@ -411,3 +411,26 @@ def test_repetition_stats_duckdb_parity(spark):
     assert _collect(TP.repetition_stats(df, "doc_id")) == _duck(
         rows, TP.repetition_stats_sql("doc_id")
     )
+
+
+def test_repetition_kernel_bit_identical_to_expr_path(spark, fixture_corpus):
+    rows = [
+        (1, " ".join(["spam"] * 64), "en"),
+        (2, _words(64), "en"),
+        (3, "", "en"),
+        (4, "one", "en"),
+        (5, ("a b " * 40).strip(), "en"),
+        (6, _words(7) + " " + _words(7), "en"),
+        (7, "x \t x\nx  x " + _words(30), "en"),
+        (8, _words(3), "en"),                      # shorter than any gram>3
+    ]
+    df = _mk_docs(spark, rows)
+    assert _collect(TP.repetition_stats_kernel(df, "doc_id")) == _collect(
+        TP.repetition_stats(df, "doc_id")
+    )
+    corp = fixture_corpus.select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"), "text", "lang"
+    )
+    assert _collect(TP.repetition_stats_kernel(corp, "doc_id")) == _collect(
+        TP.repetition_stats(corp, "doc_id")
+    )
