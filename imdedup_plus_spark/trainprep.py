@@ -496,37 +496,38 @@ def decontaminate(
 
     A document is contaminated when any of its distinct ``window``-gram
     hashes appears in the benchmark snippet set (GPT-3 appendix-C rule).
-    The benchmark n-gram set is broadcast — the corpus side is a narrow
-    scan + one per-doc distinct; no corpus shuffle against the benchmark.
-    The snippet's source documents flag themselves — correct: they DO
-    contain benchmark text."""
+    The benchmark n-gram set is broadcast, and "distinct grams per doc"
+    is a PER-ROW ``array_distinct`` fold — so the corpus never shuffles
+    its gram stream at all (the first corpus run of the explode+distinct
+    form spent its 561s wall in the (id, gram) distinct exchange; this
+    plan's only corpus-wide exchange is the narrow 3-scalar-column id
+    shuffle of the final left join, and only HIT grams — benchmark
+    matches — reach the per-doc hit aggregation). The snippet's source
+    documents flag themselves — correct: they DO contain benchmark
+    text."""
     bench_ng = (
         benchmark_snippets(docs, id_col)
         .select(F.explode(F.expr(shingles_expr("wh", window))).alias("h"))
         .distinct()
     )
-    doc_ng = (
-        _wh_df(docs, id_col)
-        .select("id", F.explode(F.expr(shingles_expr("wh", window))).alias("h"))
-        .distinct()
-    )
-    per_doc = doc_ng.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_doc_ngrams")
+    doc_ng = _wh_df(docs, id_col).select(
+        "id",
+        F.expr(f"array_distinct({shingles_expr('wh', window)})").alias("hs"),
     )
     hits = (
-        doc_ng.join(F.broadcast(bench_ng), "h")
+        doc_ng.select("id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench_ng), "h")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )
     # hint rationale: see dup_ngram_spans (planner static-estimate
-    # broadcast hazard); both aggregates are one row per doc
+    # broadcast hazard); the hit aggregate is one row per CONTAMINATED doc
     return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(per_doc.hint("shuffle_hash"), "id", "left")
+        doc_ng.select("id", F.expr("CAST(size(hs) AS BIGINT)").alias("n_doc_ngrams"))
         .join(hits.hint("shuffle_hash"), "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_doc_ngrams", F.lit(0)).alias("n_doc_ngrams"),
+            "n_doc_ngrams",
             F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
             F.expr(
                 "CAST(coalesce(n_hit_ngrams, 0) > 0 AS INT)"
@@ -549,19 +550,17 @@ bench_ng AS (
 ),
 {_wh_cte(id_col, table)},
 doc_ng AS (
-  SELECT DISTINCT id, unnest({shingles_sql('wh', window)}) AS h FROM wh
+  SELECT id, list_distinct({shingles_sql('wh', window)}) AS hs FROM wh
 ),
-per_doc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_doc_ngrams
-            FROM doc_ng GROUP BY id),
 hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
-         FROM doc_ng JOIN bench_ng USING (h) GROUP BY id)
-SELECT d.{id_col},
-       coalesce(p.n_doc_ngrams, 0) AS n_doc_ngrams,
+         FROM (SELECT id, unnest(hs) AS h FROM doc_ng)
+         JOIN bench_ng USING (h) GROUP BY id)
+SELECT d.id AS {id_col},
+       CAST(len(d.hs) AS BIGINT) AS n_doc_ngrams,
        coalesce(ht.n_hit_ngrams, 0) AS n_hit_ngrams,
        CAST(coalesce(ht.n_hit_ngrams, 0) > 0 AS INT) AS contaminated
-FROM {table} d
-LEFT JOIN per_doc p ON p.id = d.{id_col}
-LEFT JOIN hits ht ON ht.id = d.{id_col}"""
+FROM doc_ng d
+LEFT JOIN hits ht ON ht.id = d.id"""
 
 
 # ---------------------------------------------------------------------------

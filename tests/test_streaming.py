@@ -182,9 +182,11 @@ def test_compact_state_store(spark, fixture_corpus, tmp_path):
         S.signature_kernel_arrow(current1, CFG, "url"), CFG, "url"
     )
     assert spark.read.parquet(f"{state}/bands").count() == live_bands.count()
-    # idempotent: nothing left to remove
+    # idempotent: nothing left to remove (the legacy n_removed_versions
+    # alias — one-release compatibility, ADVICE r03 — mirrors the value)
     assert ST.compact_state_store(spark, state, "url") == {
-        "n_superseded_ids": 0
+        "n_superseded_ids": 0,
+        "n_removed_versions": 0,
     }
 
     # subsequent epoch: compacted store == uncompacted control
