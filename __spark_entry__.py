@@ -103,8 +103,14 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERY_ORDER = [
     # dedup core (stage 1 + verification + clustering)
     "doc_filter_valid", "dedup_minhash_signatures", "dedup_lsh_bands",
-    "dedup_band_buckets", "dedup_candidate_pairs",
+    "dedup_candidate_pairs",
     "dedup_verified_pairs",
+    # asymmetric containment scoring (Broder's c(A,B) next to resemblance;
+    # doc-inside-doc pairs the symmetric verify rejects by design) — NEW in
+    # round 4, rotated into the window; the slot came from
+    # dedup_band_buckets (a groupBy-count fold of the checked
+    # dedup_lsh_bands, r01+r02+r03-official-green, now in the tail)
+    "dedup_containment_pairs",
     "dedup_best_base", "dedup_unique_docs", "dedup_clusters",
     "dedup_incremental_clusters", "dedup_global_metrics",
     "dedup_distinct_estimate",
@@ -135,9 +141,11 @@ _QUERY_ORDER = [
     "dedup_decontaminate", "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     "text_repetition_stats",
-    # multimodal + codec lanes
+    # multimodal + codec lanes (mm_jpeg_dct_stats — the gray decode-stat
+    # projection of the same codec the end-to-end dedup_jpeg_dct_signatures
+    # lane exercises — rotated to the tail in round 4 for emb_semantic_dedup)
     "mm_binary_metadata", "mm_html_extract", "mm_png_roundtrip",
-    "mm_frame_sample", "mm_jpeg_dct_stats",
+    "mm_frame_sample",
     "dedup_jpeg_dct_signatures",
     "mm_wav_features",
     # chunking
@@ -151,8 +159,10 @@ _QUERY_ORDER = [
     # BENCH/BASELINE.md §rotation.
     "web_domain_dup_stats", "dedup_cluster_keepers",
     # embeddings / ANN (the two scale lanes; the exact-cosine baseline is
-    # r01+r02+r03-official-green and now in the tail)
-    "emb_lsh_ann_topk", "emb_ivf_ann_topk",
+    # r01+r02+r03-official-green and now in the tail) + SemDeDup — NEW in
+    # round 4: semantic dedup over IVF cells (coarse k-means cell -> exact
+    # intra-cell cosine -> farthest-from-centroid keeper)
+    "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_semantic_dedup",
     # relational / temporal / streaming: one official row per §2.2
     # category stays in-window (rollup covers grouped revenue; the
     # segment-window demo and monthly projection are r03-green, tail)
@@ -166,6 +176,10 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard", "dedup_cluster_sizes", "dedup_ratio",
     "dedup_byte_summary", "text_fingerprint", "dedup_hot_buckets",
     "dedup_similarity_histogram", "dedup_gear_chunks",
+    # dedup_band_buckets / mm_jpeg_dct_stats: r01-r03-official-green,
+    # rotated out in round 4 for the two new operators above (ledger:
+    # BENCH/BASELINE.md §rotation)
+    "dedup_band_buckets", "mm_jpeg_dct_stats",
     # dedup_candidate_pairs_hotwin: the checked candidate lane with the
     # sorted-neighborhood hot-window tier enabled; r03-official-green,
     # rotated out in round 4 for the trainprep lanes
@@ -249,6 +263,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- verification (FEATURE_CHECK analog) ---
     q["dedup_verified_pairs"] = _verified
+
+    # --- asymmetric containment scoring (Broder 1997): doc-inside-doc
+    #     pairs over the UNPRUNED candidate set; kernel form handles the
+    #     packed-binary shingle sets the production signature store emits ---
+    def _containment(spark, sf):
+        sig = _sig(spark, sf)
+        return C.containment_pairs_kernel(
+            S.explode_bands(sig, CFG, ID), sig, CFG, ID
+        )
+
+    q["dedup_containment_pairs"] = _containment
 
     # --- exact n-gram Jaccard per verified pair (integer permille) ---
     q["dedup_ngram_jaccard"] = lambda spark, sf: _verified(spark, sf).select(
@@ -470,6 +495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nprobe probing (third ANN lane; see ann.ivf_ann_topk docstring)
     q["emb_ivf_ann_topk"] = lambda spark, sf: ann.ivf_ann_topk(_emb(spark, sf))
     q["emb_ivf_cells"] = lambda spark, sf: ann.ivf_cells(_emb(spark, sf))
+    # SemDeDup (Abbas et al. 2023): coarse k-means cell -> exact intra-cell
+    # cosine -> farthest-from-centroid keeper; kernel form = Arrow-batched
+    # assignment + per-cell matmul (the production path, parity-tested)
+    q["emb_semantic_dedup"] = lambda spark, sf: ann.semantic_dedup_kernel(_emb(spark, sf))
 
     # --- relational skeleton demos (SURVEY §2.2: scans/filters/joins/aggs/
     #     windows on the TPC-H-ish tables) ---
@@ -799,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verified_pairs": sq(
             "SELECT id_a, id_b, n_matching_bands, n_eq, inter, un FROM verified"
         ),
+        "dedup_containment_pairs": C.containment_pairs_sql(CFG, id_col=ID),
         "web_domain_dup_stats": sq(
             f""", dom AS (
               SELECT {ID} AS did,
@@ -898,6 +928,7 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
 FROM orders GROUP BY 1""",
         "emb_ivf_ann_topk": ann.ivf_ann_topk_sql(),
         "emb_ivf_cells": ann.ivf_cells_sql(),
+        "emb_semantic_dedup": ann.semantic_dedup_sql(),
         "orders_rollup_revenue": """
 SELECT o_orderpriority, o_orderstatus,
        round(sum(o_totalprice), 2) AS revenue,

@@ -891,3 +891,257 @@ def cosine_neardup_pairs_kernel(
     return e.mapInPandas(
         fn, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup over IVF cells (Abbas et al. 2023, arXiv
+# 2303.09540) — the embedding-space member of the dedup suite, next to
+# exact / MinHash / SimHash / n-gram Jaccard. The reference's two-stage
+# shape (coarse sketch -> fine check, 2df.c:400-498) recurs here as
+# coarse k-means cell -> exact intra-cell cosine.
+# ---------------------------------------------------------------------------
+
+#: same corpus-calibrated threshold as the cosine near-dup lane: the
+#: driver embeddings are unplanted random vectors, so the threshold sits
+#: where the corpus has a real, small tail (semantics are parametric)
+SEMDEDUP_COSINE_PERMILLE = NEARDUP_COSINE_PERMILLE
+
+#: hard guard for the per-cell pairwise stage: a cell above this is the
+#: IVF skew case (hot cell) — the production knob is n_cells (SemDeDup
+#: uses ~n/1000 cells so |cell| stays ~1000); failing loudly beats a
+#: silent quadratic straggler
+SEMDEDUP_MAX_CELL_ROWS = 100_000
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold_permille: int = SEMDEDUP_COSINE_PERMILLE,
+    n_cells: int = IVF_N_CELLS, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup keep/drop per vector: (vec_id, cell_id, n_dup_neighbors,
+    keep).
+
+    Stage 1 (coarse): every vector lands in its nearest k-means cell
+    (the deterministic codebook of ``train_ivf_codebook`` — broadcast,
+    no shuffle beyond the ``cell_id`` co-location). Stage 2 (fine):
+    exact pairwise cosine WITHIN each cell only; a pair with
+    ``round(cos, 6) >= threshold/1000`` is a semantic duplicate. Keeper
+    rule is the paper's: among duplicates, keep the member with the LOW
+    cosine to its cell centroid (the farthest-from-centroid exemplar —
+    the most "extreme" representative survives, ties -> smaller id).
+    A vector is dropped (keep = 0) iff some duplicate partner beats it:
+    ``(o.cell_cos < my.cell_cos) OR (o.cell_cos = my.cell_cos AND
+    o.id < my.id)``. The rule is per-neighborhood local — every ε-group
+    retains at least its (cell_cos, id)-minimal member — and is
+    deterministic, so the DuckDB twin replays it bit-for-bit
+    (``cell_cos`` and the pair cosine are both round-6 doubles).
+
+    Scale shape: candidate volume is sum over cells of |cell|^2 instead
+    of n^2 — the SemDeDup contract is n_cells ~ n/1000 so cells stay
+    ~1000 rows; one shuffle on ``cell_id``, codebook broadcast, no
+    driver collect beyond the n_cells-row codebook. Hot-cell skew is the
+    IVF analog of a hot LSH band: raise n_cells (or sub-split a cell by
+    a secondary quantizer) — the kernel twin guards with a loud error.
+    """
+    scored = _ivf_scored(emb, n_cells, id_col, vec_col, dim)
+    assign = scored.where("cell_rank = 1").select(
+        F.col(id_col).alias("vid"), "cell_id", "cell_cos",
+        F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+    )
+    other = assign.select(
+        F.col("vid").alias("o_vid"), "cell_id",
+        F.col("cell_cos").alias("o_cc"),
+        F.col("va").alias("vb"), F.col("na").alias("nb"),
+    )
+    cos = f"round({_dot_expr('va', 'vb', dim)} / (na * nb), 6)"
+    dp = (
+        assign.join(other, "cell_id")
+        .where(F.col("vid") != F.col("o_vid"))
+        .where(F.expr(cos) >= threshold_permille / 1000.0)
+    )
+    agg = dp.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+        F.max(
+            F.expr(
+                "CASE WHEN o_cc < cell_cos "
+                "OR (o_cc = cell_cos AND o_vid < vid) THEN 1 ELSE 0 END"
+            )
+        ).alias("beaten"),
+    )
+    return (
+        assign.select("vid", "cell_id")
+        .join(agg, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell_id",
+            F.coalesce("n_dup_neighbors", F.lit(0)).cast("long").alias("n_dup_neighbors"),
+            (F.lit(1) - F.coalesce("beaten", F.lit(0))).cast("int").alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_kernel(
+    emb: DataFrame, threshold_permille: int = SEMDEDUP_COSINE_PERMILLE,
+    n_cells: int = IVF_N_CELLS, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = DIM,
+    max_cell_rows: int = SEMDEDUP_MAX_CELL_ROWS,
+) -> DataFrame:
+    """Scale-path twin of ``semantic_dedup`` — identical output (tested),
+    vectorized intra-cell stage.
+
+    The SQL form evaluates the ordered-fold dot product per PAIR (and the
+    n x n_cells assignment scoring per ROW-CELL) on the JVM — interpreted
+    HOFs that box every element. Here BOTH stages vectorize:
+
+    * **assignment**: one ``mapInPandas`` over the corpus scores each
+      Arrow batch against the broadcast codebook matrix with a
+      per-dimension accumulate loop — the SAME ordered left fold over
+      dims as the SQL ``aggregate`` (acc += v_i * c_i, i ascending;
+      vectorized across rows, order per element unchanged), the SAME
+      ``nrm * cnrm`` multiply order, then ``round(..., 6)``;
+      ``np.argmax`` returns the FIRST maximum over ascending cell_id =
+      the SQL tie-break. No per-row Python, no n x n_cells row blowup.
+    * **intra-cell pairing**: groupBy(cell_id).applyInPandas — each
+      cell's member matrix is one Arrow group and the |cell| x |cell|
+      cosine matrix falls out of the same per-dim fold. The one shuffle
+      co-locates each inverted list; no task holds more than one cell
+      (guarded at ``max_cell_rows``).
+
+    Bit-identical to ``semantic_dedup`` and the DuckDB oracle (tested).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cents = train_ivf_codebook(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cmat = np.asarray([cv for _, cv in sorted(cents)], dtype=np.float64)
+    # cnrm with the identical ordered fold: acc += c_i * c_i, i ascending
+    cn_acc = np.zeros(len(cmat), dtype=np.float64)
+    for d in range(cmat.shape[1]):
+        cn_acc += cmat[:, d] * cmat[:, d]
+    cnrm = np.sqrt(cn_acc)
+    id_type_in = emb.schema[id_col].dataType.simpleString()
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            # nrm: ordered fold of v_i * v_i, then sqrt (matches _norm_expr)
+            nr_acc = np.zeros(n, dtype=np.float64)
+            for d in range(V.shape[1]):
+                nr_acc += V[:, d] * V[:, d]
+            nr = np.sqrt(nr_acc)
+            ok = nr > 0  # cosine domain excludes zero-norm vectors
+            V, nr = V[ok], nr[ok]
+            ids = pdf[id_col].values[ok]
+            if len(ids) == 0:
+                continue
+            acc = np.zeros((len(ids), len(cmat)), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d][:, None] * cmat[:, d][None, :]
+            cc = np.round(acc / (nr[:, None] * cnrm[None, :]), 6)
+            best = np.argmax(cc, axis=1)  # first max = smallest cell_id
+            yield pd.DataFrame(
+                {
+                    "vid": ids,
+                    "cell_id": best.astype(np.int32),
+                    "cell_cos": cc[np.arange(len(ids)), best],
+                    "v": list(V),
+                    "nrm": nr,
+                }
+            )
+
+    assign = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign_fn,
+        schema=(
+            f"vid {id_type_in}, cell_id int, cell_cos double, "
+            "v array<double>, nrm double"
+        ),
+    )
+    thr = threshold_permille / 1000.0
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell {key[0]} has {n} rows > "
+                f"{max_cell_rows}: raise n_cells (hot-cell skew)"
+            )
+        ids = pdf["vid"].values
+        cc = pdf["cell_cos"].values.astype(np.float64)
+        nr = pdf["nrm"].values.astype(np.float64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"].values])
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            acc += col[:, None] * col[None, :]
+        cos = np.round(acc / (nr[:, None] * nr[None, :]), 6)
+        dup = (cos >= thr)
+        np.fill_diagonal(dup, False)
+        n_dup = dup.sum(axis=1).astype(np.int64)
+        # partner j beats row i iff cc[j] < cc[i], or equal and ids[j] < ids[i]
+        beats = (cc[None, :] < cc[:, None]) | (
+            (cc[None, :] == cc[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        beaten = (dup & beats).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vid": ids,
+                "cell_id": pdf["cell_id"].values,
+                "n_dup_neighbors": n_dup,
+                "keep": (~beaten).astype(np.int32),
+            }
+        )
+
+    out = assign.groupBy("cell_id").applyInPandas(
+        fn,
+        schema=(
+            f"vid {id_type}, cell_id int, n_dup_neighbors long, keep int"
+        ),
+    )
+    return out.select(
+        F.col("vid").alias(id_col), "cell_id", "n_dup_neighbors", "keep"
+    )
+
+
+def semantic_dedup_sql(
+    threshold_permille: int = SEMDEDUP_COSINE_PERMILLE,
+    n_cells: int = IVF_N_CELLS, dim: int = DIM, table: str = "embeddings",
+) -> str:
+    """DuckDB twin: replays codebook training (``_ivf_kmeans_ctes``),
+    assignment, the intra-cell round-6 cosine pairs, and the
+    farthest-from-centroid keeper rule."""
+    cos = (
+        f"round({_dot_sql('a.embedding', 'b.embedding', dim)} / "
+        f"(a.nrm * b.nrm), 6)"
+    )
+    return f"""
+WITH {_ivf_scored_sql(n_cells, dim, table)},
+assign AS (
+  SELECT vec_id, cell_id, cell_cos, embedding, nrm
+  FROM scored WHERE cell_rank = 1
+),
+dp AS (
+  SELECT a.vec_id AS vid, a.cell_cos AS my_cc,
+         b.vec_id AS o_vid, b.cell_cos AS o_cc
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id
+  WHERE {cos} >= {threshold_permille} / 1000.0
+),
+agg AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+         max(CASE WHEN o_cc < my_cc
+                  OR (o_cc = my_cc AND o_vid < vid) THEN 1 ELSE 0 END) AS beaten
+  FROM dp GROUP BY 1
+)
+SELECT s.vec_id, s.cell_id,
+       coalesce(g.n_dup_neighbors, 0) AS n_dup_neighbors,
+       CAST(1 - coalesce(g.beaten, 0) AS INT) AS keep
+FROM assign s LEFT JOIN agg g ON g.vid = s.vec_id"""

@@ -690,3 +690,189 @@ def unique_documents(valid_docs: DataFrame, verified: DataFrame, id_col: str) ->
         .distinct()
     )
     return valid_docs.join(members, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (Broder 1997's "containment" next to "resemblance"):
+# doc-inside-doc detection the symmetric Jaccard verify deliberately rejects
+# ---------------------------------------------------------------------------
+
+#: emit a pair when the SMALLER shingle set is >= this permille contained
+#: in the other — at 500, every verified near-dup qualifies (J >= pct/100
+#: implies containment >= Jaccard) plus the asymmetric quote/aggregator
+#: pairs the size-ratio prune screens out of the verify lane
+CONTAIN_PERMILLE = 500
+
+
+def containment_pairs(
+    bands: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str,
+    threshold_permille: int = CONTAIN_PERMILLE,
+) -> DataFrame:
+    """Containment-scored candidate pairs: (id_a, id_b, n_matching_bands,
+    inter, n_set_a, n_set_b, containment_permille).
+
+    ``containment_permille = floor(1000 * |A∩B| / min(|A|, |B|))`` — the
+    containment of the smaller set in the larger (Broder's c(A,B) =
+    |A∩B|/|A| evaluated for the smaller side). A short page quoted whole
+    inside a long aggregator page has Jaccard ~ |A|/|B| (tiny) but
+    containment ~ 1000, so this lane keeps exactly the pairs the
+    symmetric verify stage is designed to reject; consequently the
+    candidate generation here must NOT apply the size-ratio emission
+    prune (that prune is provable only for the Jaccard predicate), hence
+    ``bands.drop("n_set")`` before the salted pairing.
+
+    Recall honesty at scale: candidates still come from MinHash LSH,
+    which recalls *resemblance*, not containment — an extreme-asymmetry
+    pair (|A| << |B|) rarely band-matches because the superset's minima
+    dominate the signature. The lane therefore scores the asymmetric
+    TAIL of the LSH candidate set (moderate asymmetry); full containment
+    recall at 100 TB needs a different stage-1 sketch (bottom-k of A
+    probed against a global shingle index — the CDC shared-chunk lane
+    covers the exact-substring slice of that today).
+    """
+    cand = candidate_pairs_salted(
+        bands.drop("n_set"), cfg, id_col,
+        split_threshold=cfg.pair_split_threshold,
+    )
+    sigs = sig_df.select(F.col(id_col), F.col("shingle_set"))
+    sa = (
+        sigs.withColumnRenamed(id_col, "id_a")
+        .withColumnRenamed("shingle_set", "set_a")
+    )
+    sb = (
+        sigs.withColumnRenamed(id_col, "id_b")
+        .withColumnRenamed("shingle_set", "set_b")
+    )
+    inter = "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"
+    out = (
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .withColumn("inter", F.expr(inter))
+        .withColumn("n_set_a", F.expr("CAST(size(set_a) AS BIGINT)"))
+        .withColumn("n_set_b", F.expr("CAST(size(set_b) AS BIGINT)"))
+        .where(
+            F.expr(
+                f"inter * 1000 >= least(n_set_a, n_set_b) * {threshold_permille}"
+            )
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "n_matching_bands", "inter", "n_set_a", "n_set_b",
+        F.expr(
+            "CAST(floor(1000.0 * inter / least(n_set_a, n_set_b)) AS BIGINT)"
+        ).alias("containment_permille"),
+    )
+
+
+def containment_pairs_kernel(
+    bands: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str,
+    threshold_permille: int = CONTAIN_PERMILLE,
+) -> DataFrame:
+    """Scale-path twin of ``containment_pairs`` — identical output
+    (tested), Arrow-batched per-pair arithmetic, accepts the packed
+    little-endian int32 BINARY ``shingle_set`` the signature kernel
+    emits (the production store format). Same join/hint shape as
+    ``verify_pairs_kernel``; the per-pair intersection is the exact-mode
+    ``np.intersect1d`` loop (sets are sorted-distinct by construction).
+
+    ``containment_permille`` uses exact integer floor division —
+    identical to the SQL twins' ``floor(1000.0 * inter / least)``: the
+    double quotient of ints this small cannot round across an integer
+    boundary (|a/b - n| >= 1/b > n * 2^-53 for b < 2^53/n), so the two
+    forms agree bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cand = candidate_pairs_salted(
+        bands.drop("n_set"), cfg, id_col,
+        split_threshold=cfg.pair_split_threshold,
+    )
+    sigs = sig_df.select(F.col(id_col), F.col("shingle_set"))
+    sa = (
+        sigs.withColumnRenamed(id_col, "id_a")
+        .withColumnRenamed("shingle_set", "set_a")
+    )
+    sb = (
+        sigs.withColumnRenamed(id_col, "id_b")
+        .withColumnRenamed("shingle_set", "set_b")
+    )
+    joined = cand.join(sa.hint("shuffle_hash"), "id_a").join(
+        sb.hint("shuffle_hash"), "id_b"
+    )
+    packed = dict(sig_df.dtypes).get("shingle_set") == "binary"
+    thr = threshold_permille
+    id_type = sig_df.schema[id_col].dataType.simpleString()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            set_a = pdf["set_a"].values
+            set_b = pdf["set_b"].values
+            inter = np.empty(n, dtype=np.int64)
+            na = np.empty(n, dtype=np.int64)
+            nb = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                if packed:
+                    a = np.frombuffer(set_a[i], dtype="<i4")
+                    b = np.frombuffer(set_b[i], dtype="<i4")
+                else:
+                    a, b = np.asarray(set_a[i]), np.asarray(set_b[i])
+                inter[i] = np.intersect1d(a, b, assume_unique=True).size
+                na[i] = a.size
+                nb[i] = b.size
+            mn = np.minimum(na, nb)
+            keep = inter * 1000 >= mn * thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values[keep],
+                    "id_b": pdf["id_b"].values[keep],
+                    "n_matching_bands": pdf["n_matching_bands"].values[keep],
+                    "inter": inter[keep],
+                    "n_set_a": na[keep],
+                    "n_set_b": nb[keep],
+                    "containment_permille": (1000 * inter[keep]) // mn[keep],
+                }
+            )
+
+    return joined.mapInPandas(
+        fn,
+        schema=(
+            f"id_a {id_type}, id_b {id_type}, n_matching_bands long, "
+            "inter long, n_set_a long, n_set_b long, "
+            "containment_permille long"
+        ),
+    )
+
+
+def containment_pairs_sql(
+    cfg: DedupConfig, threshold_permille: int = CONTAIN_PERMILLE,
+    id_col: str = "doc_id", table: str = "documents",
+) -> str:
+    """DuckDB twin: recomputes UNPRUNED full pairing from ``kept_bands``
+    (the pipeline chain's ``cand_pairs`` CTE carries the size-ratio
+    emission prune, which is sound only for the Jaccard predicate)."""
+    from . import oracle
+
+    sel = f""", cp0 AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_matching_bands
+  FROM kept_bands a JOIN kept_bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= {cfg.band_match_threshold}
+),
+cont AS (
+  SELECT p.id_a, p.id_b, p.n_matching_bands,
+         CAST(len(list_intersect(sa.shingle_set, sb.shingle_set)) AS BIGINT) AS inter,
+         CAST(len(sa.shingle_set) AS BIGINT) AS n_set_a,
+         CAST(len(sb.shingle_set) AS BIGINT) AS n_set_b
+  FROM cp0 p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+)
+SELECT id_a, id_b, n_matching_bands, inter, n_set_a, n_set_b,
+       CAST(floor(1000.0 * inter / least(n_set_a, n_set_b)) AS BIGINT)
+         AS containment_permille
+FROM cont
+WHERE inter * 1000 >= least(n_set_a, n_set_b) * {threshold_permille}"""
+    return oracle.stage_query(cfg, sel, id_col=id_col, table=table)
