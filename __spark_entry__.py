@@ -714,7 +714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_dup_span_stats"] = lambda spark, sf: TP.dup_span_stats(
         _docs(spark, sf), ID
     )
-    q["dedup_decontaminate"] = lambda spark, sf: TP.decontaminate(
+    # kernel = the production path (the per-row HOF SQL form anti-scales:
+    # it never finished one 69k-doc task at 1.11M docs — see trainprep
+    # docstring + BENCH/BASELINE.md); bit-identical, parity-tested
+    q["dedup_decontaminate"] = lambda spark, sf: TP.decontaminate_kernel(
         _docs(spark, sf), ID
     )
     q["web_line_stats"] = lambda spark, sf: TP.line_stats(_docs(spark, sf), ID)

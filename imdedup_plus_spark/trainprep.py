@@ -1159,3 +1159,107 @@ def repetition_stats_kernel(
         "repetition_pass long"
     )
     return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+
+def decontaminate_kernel(
+    docs: DataFrame, id_col: str, window: int = DUP_NGRAM,
+    text_col: str = "text",
+) -> DataFrame:
+    """SCALE-path twin of ``decontaminate`` — identical output (tested),
+    zero corpus shuffles.
+
+    The benchmark n-gram set is BOUNDED by definition (eval sets are
+    small), so it is materialized once on the driver and captured in the
+    kernel closure as a sorted numpy array — the broadcast analog with no
+    join at all. The corpus stage is then ONE ``mapInPandas`` over the
+    pruned (id, text) scan: flat gram hashes per 64-doc chunk (the
+    signature kernel's codepoint primitives), per-doc distinct via the
+    tagged-key sort (``key = doc_idx * 2^31 + h``; gram hashes live in
+    [0, 2^31)), hit counts via one ``searchsorted`` into the benchmark
+    array. The SQL form's fused fold+explode+join stage (measured
+    40+ minutes without completing one 69k-doc task at 1.11M docs — the interpreted per-char/per-gram HOFs
+    dominate) and its final id shuffle both disappear.
+
+    The synthetic snippet derivation (``benchmark_snippets``) stays on
+    the SQL expressions: it is fixture scaffolding standing in for a real
+    external (bench_id, text) table, and runs over corpus/BENCH_MOD docs
+    only.
+
+    Precondition (shared with the whole pipeline): ``id_col`` is a KEY.
+    Under duplicate ids the SQL forms aggregate hit counts per id
+    (merging the rows) while this kernel scores each physical row
+    independently — measured on the bench corpus, whose hashed ids carry
+    exactly 300 murmur32 birthday collisions at 1.11M docs (notebook:
+    BENCH/BASELINE.md round-4 decontaminate section).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import (
+        _flat_shingles,
+        _flat_word_hashes,
+        _iter_text_chunks,
+    )
+
+    bench_rows = (
+        benchmark_snippets(docs, id_col)
+        .select(F.explode(F.expr(shingles_expr("wh", window))).alias("h"))
+        .distinct()
+        .collect()
+    )
+    bench = (
+        np.sort(np.asarray([r["h"] for r in bench_rows], dtype=np.uint64))
+        if bench_rows
+        else np.empty(0, dtype=np.uint64)
+    )
+    mask31 = np.uint64(2**31 - 1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for texts, ids in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ids_np = np.asarray(ids, dtype=np.int64)
+                ndoc = len(ids_np)
+                n_ng = np.zeros(ndoc, dtype=np.int64)
+                n_hit = np.zeros(ndoc, dtype=np.int64)
+                wh_all, wdoc, n_tok = _flat_word_hashes(texts)
+                keep = n_tok >= window
+                if keep.any():
+                    wh_k = wh_all if keep.all() else wh_all[keep[wdoc]]
+                    n_tok_k = n_tok[keep]
+                    sh, _, n_sh = _flat_shingles(wh_k, n_tok_k, window)
+                    didx = np.repeat(
+                        np.arange(n_sh.size, dtype=np.int64), n_sh
+                    ).astype(np.uint64)
+                    uk = np.unique((didx << np.uint64(31)) | sh)
+                    ud = (uk >> np.uint64(31)).astype(np.int64)
+                    kidx = np.nonzero(keep)[0]
+                    n_ng[kidx] = np.bincount(ud, minlength=n_sh.size)
+                    if bench.size:
+                        uh = uk & mask31
+                        pos = np.searchsorted(bench, uh)
+                        hit = (pos < bench.size) & (
+                            bench[np.minimum(pos, bench.size - 1)] == uh
+                        )
+                        n_hit[kidx] = np.bincount(
+                            ud[hit], minlength=n_sh.size
+                        )
+                yield pd.DataFrame(
+                    {
+                        id_col: ids_np,
+                        "n_doc_ngrams": n_ng,
+                        "n_hit_ngrams": n_hit,
+                        "contaminated": (n_hit > 0).astype(np.int32),
+                    }
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} long, n_doc_ngrams long, n_hit_ngrams long, "
+            "contaminated int"
+        ),
+    )

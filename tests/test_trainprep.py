@@ -434,3 +434,43 @@ def test_repetition_kernel_bit_identical_to_expr_path(spark, fixture_corpus):
     assert _collect(TP.repetition_stats_kernel(corp, "doc_id")) == _collect(
         TP.repetition_stats(corp, "doc_id")
     )
+
+def test_decontaminate_kernel_matches_sql_form(spark, fixture_corpus):
+    from pyspark.sql import functions as F
+
+    from imdedup_plus_spark import trainprep as TP
+
+    docs = fixture_corpus.select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"), "text"
+    )
+    a = sorted(
+        tuple(r[c] for c in sorted(r.asDict()))
+        for r in TP.decontaminate(docs, "doc_id").collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in sorted(r.asDict()))
+        for r in TP.decontaminate_kernel(docs, "doc_id").collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_decontaminate_kernel_short_and_empty_docs(spark):
+    from imdedup_plus_spark import trainprep as TP
+
+    docs = spark.createDataFrame(
+        [
+            (0, "only five tokens right here"),  # < window -> 0 grams
+            (41, ""),  # empty, and a snippet-donor id (mod 41)
+            (82, " ".join(f"w{i}" for i in range(40))),  # donor with grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TP.decontaminate_kernel(docs, "doc_id").collect()}
+    assert len(out) == 3
+    assert out[0]["n_doc_ngrams"] == 0 and out[0]["contaminated"] == 0
+    assert out[41]["n_doc_ngrams"] == 0 and out[41]["contaminated"] == 0
+    # id 82 donated its tokens 7..36 to the benchmark -> self-flags
+    assert out[82]["n_doc_ngrams"] == 40 - 13 + 1
+    assert out[82]["contaminated"] == 1
+    assert out[82]["n_hit_ngrams"] > 0
