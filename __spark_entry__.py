@@ -117,10 +117,18 @@ _QUERY_ORDER = [
     # stage 2: spans + restore
     "dedup_spans", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
-    # exact-dup prepass + web/text analysis
+    # exact-dup prepass + web/text analysis. Round-4 second rotation:
+    # text_pii_scrub + text_c4_filters (hygiene.py — PII redaction with
+    # fingerprint-pinned scrub text, C4 heuristic quality gate) enter the
+    # window; text_bpe_tokens (BPE-ish variant of the in-window
+    # text_token_stats) and text_quality_score (its quality_permille
+    # arithmetic is replayed verbatim inside the in-window
+    # dedup_cluster_keepers oracle) move to the tail. Ledger:
+    # BENCH/BASELINE.md §rotation.
     "web_recrawl_dedup",
-    "dedup_exact_groups", "text_token_stats", "text_bpe_tokens",
-    "text_quality_score", "text_lang_id", "text_simhash",
+    "dedup_exact_groups", "text_token_stats",
+    "text_pii_scrub", "text_c4_filters",
+    "text_lang_id", "text_simhash",
     "dedup_embedding_cosine",
     # training-data prep (round 4, trainprep.py): cross-document
     # duplicated-span removal (Lee et al. 2022 — the corpus-global analog
@@ -138,13 +146,21 @@ _QUERY_ORDER = [
     # text_simhash lane; displaced by text_repetition_stats, the Gopher
     # intra-document repetition gate).
     "dedup_dup_span_stats", "dedup_dup_spans", "dedup_span_clean",
-    "dedup_decontaminate", "web_line_clean_stats",
+    "dedup_decontaminate",
+    # Bloom-filter decontamination (bloom.py): the documented scale
+    # escape-hatch for a too-big-to-broadcast benchmark set — bitmap
+    # probe with exact-hit / false-positive accounting in the same row
+    "dedup_bloom_decontaminate",
+    "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     "text_repetition_stats",
     # multimodal + codec lanes (mm_jpeg_dct_stats — the gray decode-stat
     # projection of the same codec the end-to-end dedup_jpeg_dct_signatures
-    # lane exercises — rotated to the tail in round 4 for emb_semantic_dedup)
-    "mm_binary_metadata", "mm_html_extract", "mm_png_roundtrip",
+    # lane exercises — rotated to the tail in round 4 for emb_semantic_dedup;
+    # mm_binary_metadata — the typed-metadata projection over the binary
+    # column, r01-r03-official-green — to the tail in the second round-4
+    # rotation for the hygiene lanes)
+    "mm_html_extract", "mm_png_roundtrip",
     "mm_frame_sample",
     "dedup_jpeg_dct_signatures",
     "mm_wav_features",
@@ -198,6 +214,12 @@ _QUERY_ORDER = [
     # emb_ivf_cells: observability projection of the IVF codebook; the IVF
     # lane's official row is emb_ivf_ann_topk (in the window)
     "emb_ivf_cells",
+    # second round-4 rotation tail (ledger: BENCH/BASELINE.md §rotation):
+    # text_bpe_tokens = BPE-ish regex variant of the in-window
+    # text_token_stats; mm_binary_metadata = typed-metadata projection
+    # (r01-r03-official-green); text_quality_score's arithmetic is
+    # replayed inside the in-window dedup_cluster_keepers oracle
+    "text_bpe_tokens", "mm_binary_metadata", "text_quality_score",
     # dedup_span_summary: groupBy fold of dedup_spans (checked in-window);
     # r03-official-green, rotated out in round 4 for the two above
     "dedup_span_summary",
@@ -422,6 +444,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_tokens"] = lambda spark, sf: T.bpe_token_stats(_docs(spark, sf), ID)
     q["text_quality_score"] = lambda spark, sf: T.quality_score(_docs(spark, sf), ID)
     q["text_lang_id"] = lambda spark, sf: T.lang_id(_docs(spark, sf), ID)
+
+    # --- corpus hygiene (hygiene.py, round 4): PII scrub over the
+    #     deterministic synthetic-PII embedding (the driver corpus is
+    #     PII-free word salad — see hygiene.synth_pii_expr_spark), and
+    #     the C4 heuristic quality gate over the raw corpus ---
+    def _pii(spark, sf):
+        from imdedup_plus_spark import hygiene as HG
+
+        pii_docs = _docs(spark, sf).select(
+            ID, F.expr(HG.synth_pii_expr_spark(ID)).alias("text")
+        )
+        return HG.pii_scrub(pii_docs, ID)
+
+    q["text_pii_scrub"] = _pii
+
+    def _c4(spark, sf):
+        from imdedup_plus_spark import hygiene as HG
+
+        return HG.c4_filters(_docs(spark, sf), ID)
+
+    q["text_c4_filters"] = _c4
     q["text_simhash"] = lambda spark, sf: T.simhash_kernel(_docs(spark, sf), ID)
 
     # --- SimHash near-dup lane: banded hamming-<=3 pairing ---
@@ -720,6 +763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_decontaminate"] = lambda spark, sf: TP.decontaminate_kernel(
         _docs(spark, sf), ID
     )
+
+    # kernel = production path here too (bitmap closure, zero corpus
+    # exchanges); the Column/SQL forms are parity-tested twins
+    def _bloom(spark, sf):
+        from imdedup_plus_spark import bloom as BF
+
+        return BF.bloom_decontaminate_kernel(_docs(spark, sf), ID)
+
+    q["dedup_bloom_decontaminate"] = _bloom
     q["web_line_stats"] = lambda spark, sf: TP.line_stats(_docs(spark, sf), ID)
     q["web_line_clean_stats"] = lambda spark, sf: TP.line_clean_stats(
         _docs(spark, sf), ID
@@ -1019,4 +1071,13 @@ FROM (
         "dedup_span_clean": TP.span_clean_text_sql(ID),
         "text_repetition_stats": TP.repetition_stats_sql(ID),
     }
+    from imdedup_plus_spark import bloom as BF, hygiene as HG
+
+    o["dedup_bloom_decontaminate"] = BF.bloom_decontaminate_sql(ID)
+    o["text_pii_scrub"] = (
+        f"WITH piidocs AS (SELECT {ID}, "
+        f"{HG.synth_pii_expr_duck(ID)} AS text FROM documents) "
+        + HG.pii_scrub_sql(ID, "piidocs")
+    )
+    o["text_c4_filters"] = HG.c4_filters_sql(ID)
     return o

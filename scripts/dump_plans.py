@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
 from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
+from imdedup_plus_spark import bloom as BF, hygiene as HG
 from imdedup_plus_spark import trainprep as TP
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
 from imdedup_plus_spark.session import get_spark
@@ -130,6 +131,10 @@ def main() -> None:
         ("decontaminate_kernel, production path (benchmark gram set collected once — it is bounded by definition — and closed over the kernel; ONE mapInPandas over the pruned (id,text) scan, ZERO corpus exchanges)", TP.decontaminate_kernel(docs, "doc_id")),
         ("semantic_dedup_kernel (SemDeDup: ONE mapInPandas scores each Arrow batch against the codebook held inside the kernel — no n x n_cells row blowup, no JVM HOF folds; then ONE exchange on cell_id feeds the per-cell applyInPandas pairing; keeper fold is inside the same kernel, no join-back)", ann.semantic_dedup_kernel(emb)),
         ("containment_pairs_kernel (UNPRUNED salted candidate grid + two shuffle_hash id joins feed one mapInPandas — the same physical shape as verify_pairs_kernel, different predicate; the pair side is never sorted)", C.containment_pairs_kernel(bands_k, sig_k, cfg, "doc_id")),
+        ("bloom_decontaminate, SQL form (Bloom bitmap as ONE dense broadcast row crossJoined onto the per-doc gram fold: BroadcastNestedLoopJoin of a single row, per-row forall probes — ZERO corpus exchanges, not even the hit-id shuffle of the exact lane)", BF.bloom_decontaminate(docs, "doc_id")),
+        ("bloom_decontaminate_kernel, production path (bitmap + exact gram array closed over ONE mapInPandas; vectorized probe; zero exchanges)", BF.bloom_decontaminate_kernel(docs, "doc_id")),
+        ("pii_scrub (narrow per-row JVM regex projection over the pruned scan: no shuffle, no join, no Python)", HG.pii_scrub(docs, "doc_id")),
+        ("c4_filters (narrow per-row gate projection: no shuffle, no join, no Python)", HG.c4_filters(docs, "doc_id")),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
