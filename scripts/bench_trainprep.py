@@ -9,7 +9,12 @@ Usage: python scripts/bench_trainprep.py [n_base] [master] [lanes...]
   n_base  variant groups (default 300000 -> 1.11M docs)
   master  spark master (default local[16])
   lanes   optional subset filter (substring match against lane names:
-          dup_spans line_clean decontaminate decontaminate_sql repetition)
+          dup_spans line_clean decontaminate decontaminate_sql repetition
+          bloom pii c4)
+
+The pii lane embeds deterministic synthetic PII (hygiene.synth_pii_expr_
+spark, same fixture the driver oracle uses) so redaction does real work —
+the planted corpus itself is PII-free word salad.
 
 dup_span_stats runs through the Arrow n-gram kernel (the production
 path); the lane's one heavy shuffle is the n-gram frequency aggregation.
@@ -113,25 +118,104 @@ def main() -> None:
         }
         print("RESULT " + json.dumps({"lane": key, **out[key]}), flush=True)
 
-    if not want("repetition"):
-        print(json.dumps({"n_base": n_base, "n_docs": n_docs, "master": master, "lanes": out}))
-        spark.stop()
-        return
+    if want("repetition"):
+        t0 = time.time()
+        rep = TP.repetition_stats_kernel(docs, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("repetition_pass").alias("n_pass"),
+            F.sum("dup_line_permille").alias("sum_dup_line"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["repetition_stats"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_pass": int(rep["n_pass"]),
+            "sum_dup_line_permille": int(rep["sum_dup_line"]),
+        }
+        print("RESULT " + json.dumps({"lane": "repetition_stats", **out["repetition_stats"]}), flush=True)
 
-    t0 = time.time()
-    rep = TP.repetition_stats_kernel(docs, "doc_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("repetition_pass").alias("n_pass"),
-        F.sum("dup_line_permille").alias("sum_dup_line"),
-    ).collect()[0]
-    dt = time.time() - t0
-    out["repetition_stats"] = {
-        "sec": round(dt, 1),
-        "docs_per_sec": round(n_docs / dt, 1),
-        "n_pass": int(rep["n_pass"]),
-        "sum_dup_line_permille": int(rep["sum_dup_line"]),
-    }
-    print("RESULT " + json.dumps({"lane": "repetition_stats", **out["repetition_stats"]}), flush=True)
+    if want("bloom"):
+        from imdedup_plus_spark import bloom as BF
+        from imdedup_plus_spark.signatures import shingles_expr
+        from imdedup_plus_spark.trainprep import DUP_NGRAM, benchmark_snippets
+
+        # production sizing rule (bloom.py docstring): m ~= 20 * |grams|
+        # bits, rounded up to a power of two — the benchmark gram set
+        # grows with the corpus, so the sf0.01-sized default bitmap
+        # would saturate here
+        n_grams = (
+            benchmark_snippets(docs, "doc_id")
+            .select(
+                F.explode(F.expr(shingles_expr("wh", DUP_NGRAM))).alias("h")
+            )
+            .distinct()
+            .count()
+        )
+        m_bits = 1 << max(17, (20 * max(n_grams, 1) - 1).bit_length())
+        t0 = time.time()
+        bl = BF.bloom_decontaminate_kernel(docs, "doc_id", m_bits=m_bits).agg(
+            F.sum("contaminated_bloom").alias("n_contaminated_bloom"),
+            F.sum("n_bloom_hits").alias("n_bloom_hits"),
+            F.sum("n_exact_hits").alias("n_exact_hits"),
+            F.sum("n_false_pos").alias("n_false_pos"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["bloom_kernel"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "m_bits": m_bits,
+            "n_bench_grams": n_grams,
+            "n_contaminated_bloom": int(bl["n_contaminated_bloom"]),
+            "n_bloom_hits": int(bl["n_bloom_hits"]),
+            "n_exact_hits": int(bl["n_exact_hits"]),
+            "n_false_pos": int(bl["n_false_pos"]),
+        }
+        print("RESULT " + json.dumps({"lane": "bloom_kernel", **out["bloom_kernel"]}), flush=True)
+
+    if want("pii"):
+        from imdedup_plus_spark import hygiene as HG
+
+        t0 = time.time()
+        pii_docs = docs.select(
+            "doc_id", F.expr(HG.synth_pii_expr_spark("doc_id")).alias("text")
+        )
+        pi = HG.pii_scrub(pii_docs, "doc_id").agg(
+            F.sum("n_pii").alias("n_pii"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_phones").alias("n_phones"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["pii_scrub"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_pii": int(pi["n_pii"]),
+            "n_emails": int(pi["n_emails"]),
+            "n_ipv4": int(pi["n_ipv4"]),
+            "n_phones": int(pi["n_phones"]),
+        }
+        print("RESULT " + json.dumps({"lane": "pii_scrub", **out["pii_scrub"]}), flush=True)
+
+    if want("c4"):
+        from imdedup_plus_spark import hygiene as HG
+
+        t0 = time.time()
+        c4 = HG.c4_filters(docs, "doc_id").agg(
+            F.sum("keep").alias("n_keep"),
+            F.sum("flag_word_count").alias("n_flag_wc"),
+            F.sum("flag_word_len").alias("n_flag_wl"),
+            F.sum("n_words").alias("n_words"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["c4_filters"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_keep": int(c4["n_keep"]),
+            "n_flag_word_count": int(c4["n_flag_wc"]),
+            "n_flag_word_len": int(c4["n_flag_wl"]),
+            "n_words": int(c4["n_words"]),
+        }
+        print("RESULT " + json.dumps({"lane": "c4_filters", **out["c4_filters"]}), flush=True)
 
     print(json.dumps({"n_base": n_base, "n_docs": n_docs, "master": master, "lanes": out}))
     spark.stop()
