@@ -128,8 +128,12 @@ _QUERY_ORDER = [
     "web_recrawl_dedup",
     "dedup_exact_groups", "text_token_stats",
     "text_pii_scrub", "text_c4_filters",
+    # CCNet LM-perplexity bucketing (lmquality.py) — NEW in round 4,
+    # third rotation: the slot came from dedup_embedding_cosine (the
+    # threshold-pair variant of the embedding family; its official rows
+    # are emb_lsh/emb_ivf/emb_semantic_dedup, r01-r03-green, now tail)
+    "text_lm_quality",
     "text_lang_id", "text_simhash",
-    "dedup_embedding_cosine",
     # training-data prep (round 4, trainprep.py): cross-document
     # duplicated-span removal (Lee et al. 2022 — the corpus-global analog
     # of the reference's per-pair block matching, index.c:38-267), the
@@ -151,6 +155,12 @@ _QUERY_ORDER = [
     # escape-hatch for a too-big-to-broadcast benchmark set — bitmap
     # probe with exact-hit / false-positive accounting in the same row
     "dedup_bloom_decontaminate",
+    # Count-Min-sketch over-represented-gram detection (cms.py) — NEW in
+    # round 4, third rotation: completes the sketch family (KMV=distinct,
+    # Bloom=membership, CMS=frequency); the slot came from mm_frame_sample
+    # (deterministic frame-sampling projection of the in-window multimodal
+    # decode lanes, r03-official-green, now tail)
+    "corpus_cms_heavy_hitters",
     "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     "text_repetition_stats",
@@ -161,7 +171,6 @@ _QUERY_ORDER = [
     # column, r01-r03-official-green — to the tail in the second round-4
     # rotation for the hygiene lanes)
     "mm_html_extract", "mm_png_roundtrip",
-    "mm_frame_sample",
     "dedup_jpeg_dct_signatures",
     "mm_wav_features",
     # chunking
@@ -237,6 +246,12 @@ _QUERY_ORDER = [
     # text_simhash lane; r01+r02+r03-official-green, rotated out in
     # round 4 for text_repetition_stats
     "dedup_simhash_pairs",
+    # third round-4 rotation tail (ledger: BENCH/BASELINE.md §rotation):
+    # dedup_embedding_cosine = threshold-pair variant of the in-window
+    # embedding lanes (emb_lsh/emb_ivf/emb_semantic_dedup),
+    # r01-r03-official-green; mm_frame_sample = frame-sampling projection
+    # of the in-window multimodal decode lanes, r03-official-green
+    "dedup_embedding_cosine", "mm_frame_sample",
 ]
 
 
@@ -789,6 +804,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), ID
     )
 
+    # --- sketch family completion + CCNet quality gate (round 4):
+    #     kernel = production path (one fused mapInPandas pass / Arrow
+    #     scoring); Column/SQL forms are parity-tested twins ---
+    def _cms(spark, sf):
+        from imdedup_plus_spark import cms as CS
+
+        return CS.cms_heavy_hitters_kernel(_docs(spark, sf), ID)
+
+    q["corpus_cms_heavy_hitters"] = _cms
+
+    def _lmq(spark, sf):
+        from imdedup_plus_spark import lmquality as LQ
+
+        return LQ.lm_quality_kernel(_docs(spark, sf), ID)
+
+    q["text_lm_quality"] = _lmq
+
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
         sorted(set(q) ^ set(_QUERY_ORDER))
@@ -1072,8 +1104,11 @@ FROM (
         "text_repetition_stats": TP.repetition_stats_sql(ID),
     }
     from imdedup_plus_spark import bloom as BF, hygiene as HG
+    from imdedup_plus_spark import cms as CS, lmquality as LQ
 
     o["dedup_bloom_decontaminate"] = BF.bloom_decontaminate_sql(ID)
+    o["corpus_cms_heavy_hitters"] = CS.cms_heavy_hitters_sql(ID)
+    o["text_lm_quality"] = LQ.lm_quality_sql(ID)
     o["text_pii_scrub"] = (
         f"WITH piidocs AS (SELECT {ID}, "
         f"{HG.synth_pii_expr_duck(ID)} AS text FROM documents) "
