@@ -164,17 +164,31 @@ _QUERY_ORDER = [
     "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     "text_repetition_stats",
+    # data-selection lanes (selection.py) — NEW in round 4, fourth
+    # rotation: DSIR hashed-ngram importance resampling (Xie et al. 2023),
+    # UniMax language-budget waterfill (Chung et al. 2023), and the
+    # per-document selection VERDICT (every gate's flag + the
+    # first-failing-reason string — the pipeline's decision record, the
+    # corpus analog of the reference's per-file dedup result). The three
+    # slots came from mm_html_extract, mm_png_roundtrip and
+    # mm_wav_features (r01-r03-official-green media projections; the
+    # codec family keeps its in-window row via dedup_jpeg_dct_signatures
+    # below). Ledger: BENCH/BASELINE.md §rotation.
+    "corpus_dsir_select", "corpus_unimax_alloc", "corpus_select_verdict",
+    # leakage-safe train/test split — split by hash of CLUSTER, not doc,
+    # so near-dups never straddle the boundary (Lee et al. 2022 §6.2's
+    # train-test contamination). NEW in round 4, fourth rotation; the
+    # slot came from dedup_cdc_chunks (green r01-r03; its rolling-hash
+    # arithmetic stays officially exercised through the in-window
+    # CDC-anchored dedup_byte_spans lane).
+    "corpus_cluster_split",
     # multimodal + codec lanes (mm_jpeg_dct_stats — the gray decode-stat
     # projection of the same codec the end-to-end dedup_jpeg_dct_signatures
     # lane exercises — rotated to the tail in round 4 for emb_semantic_dedup;
     # mm_binary_metadata — the typed-metadata projection over the binary
     # column, r01-r03-official-green — to the tail in the second round-4
     # rotation for the hygiene lanes)
-    "mm_html_extract", "mm_png_roundtrip",
     "dedup_jpeg_dct_signatures",
-    "mm_wav_features",
-    # chunking
-    "dedup_cdc_chunks",
     # web mirror matrix + cluster keeper selection — rotated INTO the
     # 50-window in round 4 (the only two operators never officially
     # checked through round 3; VERDICT r03 next-round #1). The two slots
@@ -252,6 +266,16 @@ _QUERY_ORDER = [
     # r01-r03-official-green; mm_frame_sample = frame-sampling projection
     # of the in-window multimodal decode lanes, r03-official-green
     "dedup_embedding_cosine", "mm_frame_sample",
+    # fourth round-4 rotation tail (ledger: BENCH/BASELINE.md §rotation):
+    # mm_html_extract / mm_png_roundtrip / mm_wav_features —
+    # r01-r03-official-green media decode projections, rotated out for
+    # the selection.py lanes; the codec family's in-window row is
+    # dedup_jpeg_dct_signatures. dedup_cdc_chunks — green r01-r03,
+    # rotated out for corpus_cluster_split; its rolling-hash arithmetic
+    # remains officially exercised via the in-window CDC-anchored
+    # dedup_byte_spans lane.
+    "mm_html_extract", "mm_png_roundtrip", "mm_wav_features",
+    "dedup_cdc_chunks",
 ]
 
 
@@ -821,6 +845,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_quality"] = _lmq
 
+    # --- data-selection lanes (selection.py, round 4): DSIR importance
+    #     resampling, UniMax language allocation, and the per-document
+    #     selection verdict (a pure composition of already-checked gates;
+    #     the CASE priority lives in selection.verdict_case_sql so both
+    #     compilers share one source of truth) ---
+    def _dsir(spark, sf):
+        from imdedup_plus_spark import selection as SEL
+
+        return SEL.dsir_select(_docs(spark, sf), ID)
+
+    q["corpus_dsir_select"] = _dsir
+
+    def _unimax(spark, sf):
+        from imdedup_plus_spark import selection as SEL
+
+        return SEL.unimax_alloc(_docs(spark, sf), ID)
+
+    q["corpus_unimax_alloc"] = _unimax
+
+    def _select_verdict(spark, sf):
+        from imdedup_plus_spark import hygiene as HG
+        from imdedup_plus_spark import selection as SEL
+
+        docs = _docs(spark, sf)
+        ex = T.exact_dup_groups(docs, ID).select(
+            ID,
+            (F.col("exact_rep") != F.col(ID)).cast("int").alias("is_exact_dup"),
+        )
+        kp = _keepers(spark, sf).select(
+            ID, F.col("keep").alias("neardup_keep")
+        )
+        dec = TP.decontaminate_kernel(docs, ID).select(ID, "contaminated")
+        c4 = HG.c4_filters(docs, ID).select(ID, F.col("keep").alias("c4_keep"))
+        rep = TP.repetition_stats(docs, ID).select(ID, "repetition_pass")
+        case = SEL.verdict_case_sql()
+        return (
+            ex.join(kp, ID).join(dec, ID).join(c4, ID).join(rep, ID)
+            .select(
+                ID,
+                "is_exact_dup",
+                "neardup_keep",
+                "contaminated",
+                "c4_keep",
+                "repetition_pass",
+                F.expr(case).alias("verdict"),
+                F.expr(f"CAST(({case}) = 'kept' AS INT)").alias("kept"),
+            )
+        )
+
+    q["corpus_select_verdict"] = _select_verdict
+
+    def _cluster_split(spark, sf):
+        from imdedup_plus_spark import selection as SEL
+
+        return SEL.cluster_split(_clusters(spark, sf), ID)
+
+    q["corpus_cluster_split"] = _cluster_split
+
     # emit in canonical order — the driver checks the first 50 entries
     assert sorted(q) == sorted(_QUERY_ORDER), (
         sorted(set(q) ^ set(_QUERY_ORDER))
@@ -833,10 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _keepers_oracle_tail() -> str:
-    """Keeper-selection CTEs appended to the pipeline chain: the SAME
-    quality_permille arithmetic as textfns.quality_score_sql (can't embed
-    that builder's standalone WITH here), windowed over the clusters CTE."""
+def _quality_ctes() -> str:
+    """The quality_permille CTE chunk shared by the keeper and verdict
+    oracles: the SAME arithmetic as textfns.quality_score_sql (can't
+    embed that builder's standalone WITH mid-chain)."""
     from imdedup_plus_spark.textfns import STOPWORDS, _inlist
 
     toks = oracle.tokens_sql("text")
@@ -851,12 +933,60 @@ def _keepers_oracle_tail() -> str:
          CAST(len({toks}) AS BIGINT) AS n_tokens,
          CAST(len(list_filter({toks}, t -> t IN ({all_stop}))) AS BIGINT) AS n_stopwords
   FROM documents
-), qq AS (SELECT qid, {qp} AS quality_permille FROM qf)
+), qq AS (SELECT qid, {qp} AS quality_permille FROM qf)"""
+
+
+def _keepers_oracle_tail() -> str:
+    """Keeper-selection CTEs appended to the pipeline chain, windowed
+    over the clusters CTE."""
+    return f"""{_quality_ctes()}
 SELECT c.id AS doc_id, c.cluster_id, q.quality_permille,
        CAST(row_number() OVER (
          PARTITION BY c.cluster_id
          ORDER BY q.quality_permille DESC, c.id ASC) = 1 AS INT) AS keep
 FROM clusters c JOIN qq q ON q.qid = c.id"""
+
+
+def _verdict_oracle_tail() -> str:
+    """Selection-verdict tail: the keeper window over the pipeline's
+    clusters CTE plus the exact-dup / decontamination / C4 / repetition
+    lanes embedded verbatim as nested-WITH CTEs — every component is the
+    SAME builder its own oracle row uses, so the composition adds no new
+    arithmetic (only the CASE in selection.verdict_case_sql)."""
+    from imdedup_plus_spark import hygiene as HG
+    from imdedup_plus_spark import selection as SEL
+
+    case = SEL.verdict_case_sql()
+    return f"""{_quality_ctes()},
+kp AS (
+  SELECT c.id AS kid,
+         CAST(row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY q.quality_permille DESC, c.id ASC) = 1 AS INT)
+           AS neardup_keep
+  FROM clusters c JOIN qq q ON q.qid = c.id
+),
+exg AS ({T.exact_dup_groups_sql(ID)}),
+decq AS ({TP.decontaminate_sql(ID)}),
+c4q AS ({HG.c4_filters_sql(ID)}),
+repq AS ({TP.repetition_stats_sql(ID)})
+SELECT v.{ID}, v.is_exact_dup, v.neardup_keep, v.contaminated,
+       v.c4_keep, v.repetition_pass,
+       {case} AS verdict,
+       CAST(({case}) = 'kept' AS INT) AS kept
+FROM (
+  SELECT exg.{ID},
+         CAST(exg.exact_rep <> exg.{ID} AS INT) AS is_exact_dup,
+         kp.neardup_keep,
+         decq.contaminated,
+         c4q.keep AS c4_keep,
+         repq.repetition_pass
+  FROM exg
+  JOIN kp ON kp.kid = exg.{ID}
+  JOIN decq ON decq.{ID} = exg.{ID}
+  JOIN c4q ON c4q.{ID} = exg.{ID}
+  JOIN repq ON repq.{ID} = exg.{ID}
+) v"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1115,4 +1245,16 @@ FROM (
         + HG.pii_scrub_sql(ID, "piidocs")
     )
     o["text_c4_filters"] = HG.c4_filters_sql(ID)
+
+    from imdedup_plus_spark import selection as SEL
+
+    o["corpus_dsir_select"] = SEL.dsir_select_sql(ID)
+    o["corpus_unimax_alloc"] = SEL.unimax_alloc_sql(ID)
+    o["corpus_select_verdict"] = sq(_verdict_oracle_tail())
+    o["corpus_cluster_split"] = sq(
+        f"SELECT id AS doc_id, cluster_id, "
+        f"CAST({SEL.split_term('cluster_id')} AS BIGINT) AS split_permille, "
+        f"CAST({SEL.split_term('cluster_id')} < {SEL.SPLIT_TEST_PERMILLE} "
+        f"AS INT) AS is_test FROM clusters"
+    )
     return o

@@ -14,6 +14,7 @@ from imdedup_plus_spark import ann, bytedelta as BD, candidates as C
 from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
 from imdedup_plus_spark import bloom as BF, hygiene as HG
+from imdedup_plus_spark import selection as SEL
 from imdedup_plus_spark import trainprep as TP
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
 from imdedup_plus_spark.session import get_spark
@@ -135,6 +136,8 @@ def main() -> None:
         ("bloom_decontaminate_kernel, production path (bitmap + exact gram array closed over ONE mapInPandas; vectorized probe; zero exchanges)", BF.bloom_decontaminate_kernel(docs, "doc_id")),
         ("pii_scrub (narrow per-row JVM regex projection over the pruned scan: no shuffle, no join, no Python)", HG.pii_scrub(docs, "doc_id")),
         ("c4_filters (narrow per-row gate projection: no shuffle, no join, no Python)", HG.c4_filters(docs, "doc_id")),
+        ("dsir_select (DSIR importance resampling: the LLR model is ONE exchange bounded at DSIR_V rows — partial HashAggregate before it — collapsed to a single broadcast row; scoring is a per-row fold over that row with ZERO corpus exchanges; the resample is TakeOrderedAndProject — per-partition heap + K-row merge, NEVER a global sort)", SEL.dsir_select(docs, "doc_id")),
+        ("unimax_alloc (UniMax waterfill: ONE exchange for the per-language token agg — map-side combine to n_languages rows — then every window runs over that bounded frame; the corpus is scanned once, pruned to lang,text)", SEL.unimax_alloc(docs, "doc_id")),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
