@@ -850,10 +850,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     selection verdict (a pure composition of already-checked gates;
     #     the CASE priority lives in selection.verdict_case_sql so both
     #     compilers share one source of truth) ---
+    # kernel = production path (model fold + scoring both Arrow-side;
+    # the Column/SQL form's per-row HOF fold is the known interpreted
+    # anti-scaling ceiling); bit-identical, parity-tested
     def _dsir(spark, sf):
         from imdedup_plus_spark import selection as SEL
 
-        return SEL.dsir_select(_docs(spark, sf), ID)
+        return SEL.dsir_select_kernel(_docs(spark, sf), ID)
 
     q["corpus_dsir_select"] = _dsir
 

@@ -287,6 +287,181 @@ ORDER BY dsir_key DESC, {id_col} ASC
 LIMIT {k}"""
 
 
+def _bucket_np(h):
+    """numpy twin of ``_bucket_term`` — exact uint64 arithmetic
+    (``DSIR_A * (2^31 - 1) < 2^63``, asserted at import)."""
+    import numpy as np
+
+    return (
+        ((np.uint64(DSIR_A) * h + np.uint64(DSIR_B)) % np.uint64(PERM_P))
+        % np.uint64(DSIR_V)
+    ).astype(np.int64)
+
+
+def dsir_model_counts_kernel(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """SCALE-path model build: per-PARTITION partial bucket counts
+    ``(b, c_r, c_t)`` from ONE ``mapInPandas`` pass — each task folds its
+    whole partition into two dense ``DSIR_V`` arrays and emits only the
+    nonzero rows, so the exchange is bounded at ``tasks x DSIR_V`` rows
+    regardless of corpus size (the CMS kernel's fused-partials shape;
+    the SQL form's explode+groupBy shuffles the same bounded set but
+    pays the interpreted per-row HOF fold to produce the gram stream)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import (
+        _flat_shingles,
+        _flat_word_hashes,
+        _iter_text_chunks,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_r = np.zeros(DSIR_V, dtype=np.int64)
+        c_t = np.zeros(DSIR_V, dtype=np.int64)
+        for pdf in batches:
+            for texts, ids in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ids_np = np.asarray(ids, dtype=np.int64)
+                is_t = ids_np % DSIR_TARGET_MOD == 0
+                wh_all, wdoc, n_tok = _flat_word_hashes(texts)
+                b_u = _bucket_np(wh_all)
+                c_r += np.bincount(b_u, minlength=DSIR_V)
+                if is_t.any():
+                    c_t += np.bincount(
+                        b_u[is_t[wdoc]], minlength=DSIR_V
+                    )
+                keep = n_tok >= 2
+                if keep.any():
+                    wh_k = wh_all if keep.all() else wh_all[keep[wdoc]]
+                    sh, _, n_sh = _flat_shingles(wh_k, n_tok[keep], 2)
+                    b_s = _bucket_np(sh)
+                    c_r += np.bincount(b_s, minlength=DSIR_V)
+                    t_k = is_t[keep]
+                    if t_k.any():
+                        didx = np.repeat(
+                            np.arange(n_sh.size, dtype=np.int64), n_sh
+                        )
+                        c_t += np.bincount(
+                            b_s[t_k[didx]], minlength=DSIR_V
+                        )
+        nz = np.nonzero(c_r)[0]
+        yield pd.DataFrame(
+            {"b": nz.astype(np.int64), "c_r": c_r[nz], "c_t": c_t[nz]}
+        )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema="b long, c_r long, c_t long"
+    )
+
+
+def _dsir_llr_np(c_r, c_t):
+    """Driver-side numpy twin of the llr_arr transform in
+    ``dsir_model_row`` — same fixed-point inverse probabilities, exact
+    ``floor(log2)`` via ``lmquality._floor_log2_int64``."""
+    import numpy as np
+
+    from .lmquality import _floor_log2_int64
+
+    r_total = np.int64(c_r.sum())
+    t_total = np.int64(c_t.sum())
+    q_r = ((r_total + DSIR_V) * (1 << DSIR_Q_BITS)) // (c_r + 1)
+    q_t = ((t_total + DSIR_V) * (1 << DSIR_Q_BITS)) // (c_t + 1)
+    return _floor_log2_int64(q_r) - _floor_log2_int64(q_t)
+
+
+def dsir_select_kernel(
+    docs: DataFrame, id_col: str, k: int = DSIR_K, text_col: str = "text"
+) -> DataFrame:
+    """SCALE-path twin of ``dsir_select`` — identical output (tested).
+
+    Two passes, both kernel-side: (1) the model counts fold above, whose
+    <= DSIR_V-row aggregate is collected once (64 KB — the bounded
+    driver-side collect contract of the IVF codebook / decontaminate
+    benchmark set) and turned into the llr array; (2) ONE ``mapInPandas``
+    over the pruned (id, text) scan scoring every document against the
+    closed-over llr array — ZERO corpus exchanges before the TakeOrdered
+    heap. The SQL form's per-row interpreted HOF fold (the measured
+    >8-thread anti-scaling ceiling) never runs.
+
+    Precondition (shared with decontaminate_kernel): ``id_col`` is a
+    key; under duplicate ids the SQL form scores merged rows identically
+    anyway (the weight is a pure function of (id, text))."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from .signatures import (
+        _flat_shingles,
+        _flat_word_hashes,
+        _iter_text_chunks,
+    )
+
+    counts = (
+        dsir_model_counts_kernel(docs, id_col, text_col)
+        .groupBy("b")
+        .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
+        .collect()
+    )
+    c_r = np.zeros(DSIR_V, dtype=np.int64)
+    c_t = np.zeros(DSIR_V, dtype=np.int64)
+    for row in counts:
+        c_r[row["b"]] = row["c_r"]
+        c_t[row["b"]] = row["c_t"]
+    # float64 lane for the bincount-weights fold below: |llr| <= ~60 and
+    # per-doc feature counts are bounded by the doc length, so the float
+    # partial sums stay far below 2^53 — exact
+    llr_f = _dsir_llr_np(c_r, c_t).astype(np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for texts, ids in _iter_text_chunks(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                ids_np = np.asarray(ids, dtype=np.int64)
+                ndoc = len(ids_np)
+                wh_all, wdoc, n_tok = _flat_word_hashes(texts)
+                w = np.bincount(
+                    wdoc, weights=llr_f[_bucket_np(wh_all)], minlength=ndoc
+                )
+                n_feats = n_tok.copy()
+                keep = n_tok >= 2
+                if keep.any():
+                    wh_k = wh_all if keep.all() else wh_all[keep[wdoc]]
+                    sh, _, n_sh = _flat_shingles(wh_k, n_tok[keep], 2)
+                    kidx = np.nonzero(keep)[0]
+                    didx = kidx[
+                        np.repeat(np.arange(n_sh.size, dtype=np.int64), n_sh)
+                    ]
+                    w += np.bincount(
+                        didx, weights=llr_f[_bucket_np(sh)], minlength=ndoc
+                    )
+                    n_feats[kidx] += n_sh
+                weight = w.astype(np.int64)
+                noise = (
+                    (ids_np % PERM_P) * SAMPLE_MULT + SAMPLE_INC
+                ) % PERM_P % (1 << DSIR_Q_BITS)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids_np,
+                        "n_feats": n_feats,
+                        "dsir_llr_bits": weight,
+                        "dsir_key": weight * (1 << DSIR_Q_BITS) + noise,
+                    }
+                )
+
+    scored = docs.select(id_col, text_col).mapInPandas(
+        fn,
+        schema=f"{id_col} long, n_feats long, dsir_llr_bits long, dsir_key long",
+    )
+    return scored.orderBy(
+        F.col("dsir_key").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # 2. UniMax language allocation
 # ---------------------------------------------------------------------------

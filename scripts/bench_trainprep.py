@@ -10,7 +10,7 @@ Usage: python scripts/bench_trainprep.py [n_base] [master] [lanes...]
   master  spark master (default local[16])
   lanes   optional subset filter (substring match against lane names:
           dup_spans line_clean decontaminate decontaminate_sql repetition
-          bloom pii c4)
+          bloom pii c4 dsir unimax)
 
 The pii lane embeds deterministic synthetic PII (hygiene.synth_pii_expr_
 spark, same fixture the driver oracle uses) so redaction does real work —
@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from imdedup_plus_spark import fixtures as FX, trainprep as TP
+from imdedup_plus_spark import fixtures as FX, selection as SEL, trainprep as TP
 from imdedup_plus_spark.session import get_spark
 
 
@@ -216,6 +216,46 @@ def main() -> None:
             "n_words": int(c4["n_words"]),
         }
         print("RESULT " + json.dumps({"lane": "c4_filters", **out["c4_filters"]}), flush=True)
+
+    if want("dsir"):
+        # top-K sized to the corpus-scale question (is the TakeOrdered
+        # heap + model fold scale-shaped), not the sf-fixture default
+        t0 = time.time()
+        top = SEL.dsir_select_kernel(docs, "doc_id", k=10000).agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.min("dsir_llr_bits").alias("min_llr"),
+            F.max("dsir_llr_bits").alias("max_llr"),
+            F.sum("n_feats").alias("n_feats_selected"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["dsir_kernel"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_selected": int(top["n_selected"]),
+            "min_llr_bits": int(top["min_llr"]),
+            "max_llr_bits": int(top["max_llr"]),
+            "n_feats_selected": int(top["n_feats_selected"]),
+        }
+        print("RESULT " + json.dumps({"lane": "dsir_kernel", **out["dsir_kernel"]}), flush=True)
+
+    if want("unimax"):
+        t0 = time.time()
+        um = SEL.unimax_alloc(docs, "doc_id").agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("alloc_tokens").alias("alloc_tokens"),
+            F.sum("capped").alias("n_capped"),
+        ).collect()[0]
+        dt = time.time() - t0
+        out["unimax_alloc"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "n_langs": int(um["n_langs"]),
+            "n_tokens": int(um["n_tokens"]),
+            "alloc_tokens": int(um["alloc_tokens"]),
+            "n_capped": int(um["n_capped"]),
+        }
+        print("RESULT " + json.dumps({"lane": "unimax_alloc", **out["unimax_alloc"]}), flush=True)
 
     print(json.dumps({"n_base": n_base, "n_docs": n_docs, "master": master, "lanes": out}))
     spark.stop()

@@ -138,6 +138,8 @@ def main() -> None:
         ("c4_filters (narrow per-row gate projection: no shuffle, no join, no Python)", HG.c4_filters(docs, "doc_id")),
         ("dsir_select (DSIR importance resampling: the LLR model is ONE exchange bounded at DSIR_V rows — partial HashAggregate before it — collapsed to a single broadcast row; scoring is a per-row fold over that row with ZERO corpus exchanges; the resample is TakeOrderedAndProject — per-partition heap + K-row merge, NEVER a global sort)", SEL.dsir_select(docs, "doc_id")),
         ("unimax_alloc (UniMax waterfill: ONE exchange for the per-language token agg — map-side combine to n_languages rows — then every window runs over that bounded frame; the corpus is scanned once, pruned to lang,text)", SEL.unimax_alloc(docs, "doc_id")),
+        ("dsir_select_kernel, production path (model collected once as a 64 KB llr array — bounded-collect contract — then ONE mapInPandas scores every doc against the closure; ZERO corpus exchanges before the TakeOrderedAndProject heap; the SQL form's interpreted HOF fold never runs)", SEL.dsir_select_kernel(docs, "doc_id")),
+        ("dsir_model_counts_kernel (per-partition dense bucket-count partials from ONE mapInPandas pass: the exchange is bounded at tasks x DSIR_V rows regardless of corpus size)", SEL.dsir_model_counts_kernel(docs, "doc_id")),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(

@@ -75,6 +75,17 @@ def test_dsir_topk_is_deterministic_prefix(spark):
     assert [tuple(r) for r in top] == [tuple(r) for r in full[:3]]
 
 
+def test_dsir_kernel_bit_identical(spark):
+    """kernel == SQL form == DuckDB on the mixed corpus (incl. the empty
+    doc and single-token docs where the bigram lane masks out)."""
+    rows = _dsir_corpus() + [(7, "solo", "en"), (8, "a b", "en")]
+    df = _mk_docs(spark, rows)
+    got_k = _collect(SEL.dsir_select_kernel(df, "doc_id", k=11))
+    got_sql = _collect(SEL.dsir_select(df, "doc_id", k=11))
+    want = _duck(rows, SEL.dsir_select_sql("doc_id", k=11))
+    assert got_k == got_sql == want
+
+
 def test_dsir_empty_target_slice(spark):
     """No id % 23 == 0 docs: the target model is pure smoothing — the
     lane still runs and both compilers agree."""
