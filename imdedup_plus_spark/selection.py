@@ -389,7 +389,11 @@ def dsir_select_kernel(
 
     Precondition (shared with decontaminate_kernel): ``id_col`` is a
     key; under duplicate ids the SQL form scores merged rows identically
-    anyway (the weight is a pure function of (id, text))."""
+    anyway (the weight is a pure function of (id, text)). Ids must be
+    NON-NEGATIVE (the whole pipeline's contract — ids are abs(hash)):
+    numpy's ``%`` is floor-mod while Spark/DuckDB ``%`` is
+    truncated-mod, so a negative id would split the target slice and
+    the noise term between the kernel and the SQL twins."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
