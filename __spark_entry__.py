@@ -101,8 +101,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   dedup_hot_buckets     = the > cap slice of the same bucket_sizes CTE
 #:                           as dedup_band_buckets
 _QUERY_ORDER = [
-    # dedup core (stage 1 + verification + clustering)
-    "doc_filter_valid", "dedup_minhash_signatures", "dedup_lsh_bands",
+    # dedup core (stage 1 + verification + clustering). Fifth round-4
+    # rotation: dedup_hll_estimate (the register-sketch distinct
+    # estimator, metrics.py — sketch family row 5) enters the window;
+    # dedup_lsh_bands (the band-explosion projection between the
+    # in-window dedup_minhash_signatures and dedup_candidate_pairs —
+    # its arithmetic is the direct input of the checked candidate join,
+    # r01-r03-official-green) moves to the tail. Ledger:
+    # BENCH/BASELINE.md §rotation.
+    "doc_filter_valid", "dedup_minhash_signatures",
     "dedup_candidate_pairs",
     "dedup_verified_pairs",
     # asymmetric containment scoring (Broder's c(A,B) next to resemblance;
@@ -113,7 +120,7 @@ _QUERY_ORDER = [
     "dedup_containment_pairs",
     "dedup_best_base", "dedup_unique_docs", "dedup_clusters",
     "dedup_incremental_clusters", "dedup_global_metrics",
-    "dedup_distinct_estimate",
+    "dedup_distinct_estimate", "dedup_hll_estimate",
     # stage 2: spans + restore
     "dedup_spans", "dedup_roundtrip_check",
     "dedup_byte_spans", "dedup_byte_roundtrip_check",
@@ -276,6 +283,11 @@ _QUERY_ORDER = [
     # dedup_byte_spans lane.
     "mm_html_extract", "mm_png_roundtrip", "mm_wav_features",
     "dedup_cdc_chunks",
+    # fifth round-4 rotation tail (ledger: BENCH/BASELINE.md §rotation):
+    # dedup_lsh_bands — the band-explosion projection whose output is
+    # the direct input of the in-window dedup_candidate_pairs join;
+    # r01-r03-official-green, rotated out for dedup_hll_estimate
+    "dedup_lsh_bands",
 ]
 
 
@@ -407,6 +419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the DuckDB oracle is pytest-gated (tests/test_kmv.py)
     q["dedup_distinct_estimate"] = (
         lambda spark, sf: M.distinct_shingle_estimate_kernel(_sig(spark, sf))
+    )
+
+    # --- HLL distinct estimate: the fixed-register sibling of the KMV
+    #     lane (merge = groupBy(j).max, the streaming-state-friendly
+    #     summary; sketch family row 5). Kernel form over the packed
+    #     signature store; SQL/oracle parity in tests/test_hll.py ---
+    q["dedup_hll_estimate"] = (
+        lambda spark, sf: M.distinct_shingle_hll_kernel(_sig(spark, sf))
     )
 
     # --- global metric fold (#19) ---
@@ -1187,6 +1207,9 @@ FROM (
         "dedup_roundtrip_check": oracle.roundtrip_check_sql(CFG, id_col=ID),
         "dedup_distinct_estimate": oracle.kmv_estimate_sql(
             CFG, KMV_EST_K, id_col=ID
+        ),
+        "dedup_hll_estimate": oracle.hll_estimate_sql(
+            CFG, M.HLL_M, id_col=ID
         ),
         # --- byte-delta lane: same recursive replay over hex-block tokens ---
         "dedup_byte_spans": BD.byte_span_query(

@@ -238,6 +238,59 @@ FROM est"""
     return stage_query(cfg, sel, id_col, table)
 
 
+def hll_estimate_sql(cfg: DedupConfig, m: int, id_col: str = "doc_id",
+                     table: str = "documents") -> str:
+    """DuckDB replay of ``metrics.distinct_shingle_hll`` — identical
+    lowbias32 xorshift-multiply finalizer (DuckDB ``xor()``/``//`` ==
+    Spark ``^``/``div`` on these non-negative BIGINTs), register split
+    (j = h mod m, q = h div m), ``length(bin(q)) - 1`` integer log2,
+    scaled-BIGINT harmonic sum and integer-floor estimator; the one
+    ln() in the linear-counting branch is the same libm double both
+    engines."""
+    from .metrics import HLL_LC_MAX, HLL_MIX_K, HLL_NUMER, HLL_Q_BITS, HLL_S
+
+    two_s = 1 << HLL_S
+    sel = f""", exs AS (
+  SELECT DISTINCT CAST(s AS BIGINT) AS x0
+  FROM (SELECT unnest(shingle_set) AS s FROM sig)
+),
+mx1 AS (SELECT (xor(x0 // 65536, x0) * {HLL_MIX_K}) % 4294967296 AS x1 FROM exs),
+mx2 AS (SELECT (xor(x1 // 65536, x1) * {HLL_MIX_K}) % 4294967296 AS x2 FROM mx1),
+exh AS (SELECT xor(x2 // 65536, x2) AS h FROM mx2),
+regs AS (
+  SELECT CAST(h % {m} AS INT) AS j,
+         max(CASE WHEN h // {m} = 0 THEN {HLL_S}
+                  ELSE {HLL_Q_BITS} - (length(bin(h // {m})) - 1) END) AS r
+  FROM exh GROUP BY 1
+),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << ({HLL_S} - r)), 0) AS BIGINT) AS z_ne
+  FROM regs
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(shingle_set)) AS BIGINT) AS n_doc_shingles FROM sig),
+est0 AS (
+  SELECT t.n_docs, t.n_doc_shingles,
+         CAST({m} AS BIGINT) AS hll_m,
+         CAST({m} - s.n_used AS BIGINT) AS n_zero_regs,
+         CAST(s.z_ne + ({m} - s.n_used) * {two_s} AS BIGINT) AS z_scaled
+  FROM tot t CROSS JOIN sk s
+),
+est1 AS (
+  SELECT *, {HLL_NUMER} // z_scaled // 1000000 AS est_raw FROM est0
+)
+SELECT n_docs, n_doc_shingles, hll_m, n_zero_regs, z_scaled, est_raw,
+       CASE WHEN est_raw <= {HLL_LC_MAX} AND n_zero_regs > 0
+            THEN CAST(floor({m} * ln(CAST({m} AS DOUBLE) / n_zero_regs)) AS BIGINT)
+            ELSE est_raw END AS est_distinct,
+       round(1.0 - (CASE WHEN est_raw <= {HLL_LC_MAX} AND n_zero_regs > 0
+            THEN CAST(floor({m} * ln(CAST({m} AS DOUBLE) / n_zero_regs)) AS BIGINT)
+            ELSE est_raw END) / n_doc_shingles, 6) AS dup_shingle_ratio
+FROM est1"""
+    return stage_query(cfg, sel, id_col, table)
+
+
 # ---------------------------------------------------------------------------
 # Span-lane oracle: recursive-CTE replay of the greedy matcher
 # ---------------------------------------------------------------------------
