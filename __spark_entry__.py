@@ -123,7 +123,7 @@ _QUERY_ORDER = [
     "dedup_distinct_estimate", "dedup_hll_estimate",
     # stage 2: spans + restore
     "dedup_spans", "dedup_roundtrip_check",
-    "dedup_byte_spans", "dedup_byte_roundtrip_check",
+    "dedup_byte_spans",
     # exact-dup prepass + web/text analysis. Round-4 second rotation:
     # text_pii_scrub + text_c4_filters (hygiene.py — PII redaction with
     # fingerprint-pinned scrub text, C4 heuristic quality gate) enter the
@@ -168,6 +168,15 @@ _QUERY_ORDER = [
     # (deterministic frame-sampling projection of the in-window multimodal
     # decode lanes, r03-official-green, now tail)
     "corpus_cms_heavy_hitters",
+    # Mergeable top-k gram summary with a certified two-sided count
+    # bracket (topk.py — TPUT/threshold-algorithm partial sums over
+    # deterministic id-range groups; est <= exact <= ub proven in the
+    # row) — NEW in round 4, fifth rotation: the slot came from
+    # dedup_byte_roundtrip_check (the byte lane's zero-mismatch
+    # invariant fold, r01-r03-official-green; the byte-delta lane keeps
+    # its in-window row via dedup_byte_spans, and the restore invariant
+    # stays byte-exact-tested in tests/test_dirdedup.py)
+    "corpus_topk_grams",
     "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     "text_repetition_stats",
@@ -286,8 +295,11 @@ _QUERY_ORDER = [
     # fifth round-4 rotation tail (ledger: BENCH/BASELINE.md §rotation):
     # dedup_lsh_bands — the band-explosion projection whose output is
     # the direct input of the in-window dedup_candidate_pairs join;
-    # r01-r03-official-green, rotated out for dedup_hll_estimate
-    "dedup_lsh_bands",
+    # r01-r03-official-green, rotated out for dedup_hll_estimate.
+    # dedup_byte_roundtrip_check — the byte lane's zero-mismatch
+    # invariant fold (r01-r03-official-green), rotated out for
+    # corpus_topk_grams; restore stays byte-exact-tested in pytest
+    "dedup_lsh_bands", "dedup_byte_roundtrip_check",
 ]
 
 
@@ -858,6 +870,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_cms_heavy_hitters"] = _cms
 
+    # --- mergeable top-k gram summary (topk.py): certified two-sided
+    #     bracket est <= exact <= ub in every row; kernel = production
+    #     path (chunked-numpy gram counting, one corpus pass) ---
+    def _topk(spark, sf):
+        from imdedup_plus_spark import topk as TK
+
+        return TK.topk_gram_bracket_kernel(_docs(spark, sf), ID)
+
+    q["corpus_topk_grams"] = _topk
+
     def _lmq(spark, sf):
         from imdedup_plus_spark import lmquality as LQ
 
@@ -1262,8 +1284,11 @@ FROM (
     from imdedup_plus_spark import bloom as BF, hygiene as HG
     from imdedup_plus_spark import cms as CS, lmquality as LQ
 
+    from imdedup_plus_spark import topk as TK
+
     o["dedup_bloom_decontaminate"] = BF.bloom_decontaminate_sql(ID)
     o["corpus_cms_heavy_hitters"] = CS.cms_heavy_hitters_sql(ID)
+    o["corpus_topk_grams"] = TK.topk_gram_bracket_sql(ID)
     o["text_lm_quality"] = LQ.lm_quality_sql(ID)
     o["text_pii_scrub"] = (
         f"WITH piidocs AS (SELECT {ID}, "
