@@ -320,8 +320,14 @@ def cms_heavy_hitters_kernel(
     partials = docs.select(
         F.col(id_col), F.col(text_col)
     ).mapInPandas(fn, schema="kind int, k long, c long")
-    agg = partials.groupBy("kind", "k").agg(
-        F.sum("c").cast("long").alias("c")
+    # materialize the bounded (kind, key, count) table ONCE: the cells
+    # and exact branches both reference it and AQE's exchange reuse does
+    # not collapse them (measured: the fused corpus pass re-ran per
+    # branch without this)
+    agg = (
+        partials.groupBy("kind", "k")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     cells = agg.where(F.col("kind") == 0).select(
         F.col("k").alias("i"), "c"

@@ -275,7 +275,17 @@ def topk_gram_bracket_kernel(
     partials = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         fn, schema="g long, h long, c long"
     )
-    gh = partials.groupBy("g", "h").agg(F.sum("c").cast("long").alias("c"))
+    # materialize the bounded (g, h, c) table ONCE: five downstream
+    # branches (rank, thresholds, totals, merge, exact term) reference
+    # it, and AQE's exchange reuse does not collapse them (measured: 10
+    # MapInPandas subtrees in the executed plan without this — the
+    # corpus pass re-ran per branch). localCheckpoint persists the agg
+    # to executor storage, so the corpus is scanned exactly once.
+    gh = (
+        partials.groupBy("g", "h")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # the global gram stream for the verification term is the same
     # partials summed over g — re-expanded to an occurrence-count frame
     # the shared tail can count (weighted count = sum of c)

@@ -15,6 +15,7 @@ from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
 from imdedup_plus_spark import bloom as BF, hygiene as HG
 from imdedup_plus_spark import selection as SEL
+from imdedup_plus_spark import topk as TK
 from imdedup_plus_spark import trainprep as TP
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
 from imdedup_plus_spark.session import get_spark
@@ -140,6 +141,8 @@ def main() -> None:
         ("unimax_alloc (UniMax waterfill: ONE exchange for the per-language token agg — map-side combine to n_languages rows — then every window runs over that bounded frame; the corpus is scanned once, pruned to lang,text)", SEL.unimax_alloc(docs, "doc_id")),
         ("dsir_select_kernel, production path (model collected once as a 64 KB llr array — bounded-collect contract — then ONE mapInPandas scores every doc against the closure; ZERO corpus exchanges before the TakeOrderedAndProject heap; the SQL form's interpreted HOF fold never runs)", SEL.dsir_select_kernel(docs, "doc_id")),
         ("dsir_model_counts_kernel (per-partition dense bucket-count partials from ONE mapInPandas pass: the exchange is bounded at tasks x DSIR_V rows regardless of corpus size)", SEL.dsir_model_counts_kernel(docs, "doc_id")),
+        ("distinct_shingle_hll_kernel (HLL: mapInPandas register partials — <=m rows per task — merged by ONE bounded groupBy(j).max exchange; the register fold is a 512-row agg; the shingle universe is never shuffled, distinct-ed OR sorted — cheaper combine than even the KMV bottom-k's distinct+limit)", M.distinct_shingle_hll_kernel(sig_k)),
+        ("topk_gram_bracket_kernel (mergeable top-k: chunked-numpy (g,h,c) partials with map-side combine; the per-group rank window partitions by the id-range group — BOUNDED partitions by construction, never a corpus-keyed window; after pruning the merge joins n_groups*k rows against the broadcast threshold table; the exact verification term reuses the same partials, no second corpus pass)", TK.topk_gram_bracket_kernel(docs, "doc_id")),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
