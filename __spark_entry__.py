@@ -179,6 +179,12 @@ _QUERY_ORDER = [
     "corpus_topk_grams",
     "web_line_clean_stats",
     "corpus_sample_stratified", "train_pack_chunks",
+    # deterministic training-order shuffle (ordering.py — reproducible
+    # shard + position per doc, epoch re-keyed permutation) — NEW in
+    # round 4, fifth rotation: the slot came from emb_lsh_ann_topk
+    # (r01-r03-official-green; the embedding family keeps two in-window
+    # rows via emb_ivf_ann_topk + emb_semantic_dedup)
+    "train_shuffle_shards",
     "text_repetition_stats",
     # data-selection lanes (selection.py) — NEW in round 4, fourth
     # rotation: DSIR hashed-ngram importance resampling (Xie et al. 2023),
@@ -213,11 +219,12 @@ _QUERY_ORDER = [
     # dedup_cdc_chunks), now in the tail. Rotation ledger:
     # BENCH/BASELINE.md §rotation.
     "web_domain_dup_stats", "dedup_cluster_keepers",
-    # embeddings / ANN (the two scale lanes; the exact-cosine baseline is
-    # r01+r02+r03-official-green and now in the tail) + SemDeDup — NEW in
-    # round 4: semantic dedup over IVF cells (coarse k-means cell -> exact
-    # intra-cell cosine -> farthest-from-centroid keeper)
-    "emb_lsh_ann_topk", "emb_ivf_ann_topk", "emb_semantic_dedup",
+    # embeddings / ANN (the IVF scale lane; the exact-cosine baseline is
+    # r01-r03-official-green in the tail, and emb_lsh_ann_topk rotated
+    # to the tail in the fifth round-4 rotation for train_shuffle_shards)
+    # + SemDeDup — NEW in round 4: semantic dedup over IVF cells (coarse
+    # k-means cell -> exact intra-cell cosine -> farthest keeper)
+    "emb_ivf_ann_topk", "emb_semantic_dedup",
     # relational / temporal / streaming: one official row per §2.2
     # category stays in-window (rollup covers grouped revenue; the
     # segment-window demo and monthly projection are r03-green, tail)
@@ -298,8 +305,11 @@ _QUERY_ORDER = [
     # r01-r03-official-green, rotated out for dedup_hll_estimate.
     # dedup_byte_roundtrip_check — the byte lane's zero-mismatch
     # invariant fold (r01-r03-official-green), rotated out for
-    # corpus_topk_grams; restore stays byte-exact-tested in pytest
-    "dedup_lsh_bands", "dedup_byte_roundtrip_check",
+    # corpus_topk_grams; restore stays byte-exact-tested in pytest.
+    # emb_lsh_ann_topk — r01-r03-official-green, rotated out for
+    # train_shuffle_shards; the embedding family keeps emb_ivf_ann_topk
+    # + emb_semantic_dedup in-window
+    "dedup_lsh_bands", "dedup_byte_roundtrip_check", "emb_lsh_ann_topk",
 ]
 
 
@@ -880,6 +890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_topk_grams"] = _topk
 
+    # --- deterministic training-order shuffle (ordering.py): the
+    #     reproducible fixed-seed global shuffle a training pipeline
+    #     writes shards with; pure-JVM affine permutation + one
+    #     shard-keyed window ---
+    def _shuffle(spark, sf):
+        from imdedup_plus_spark import ordering as ORD
+
+        return ORD.shuffle_shards(_docs(spark, sf).select(ID), ID)
+
+    q["train_shuffle_shards"] = _shuffle
+
     def _lmq(spark, sf):
         from imdedup_plus_spark import lmquality as LQ
 
@@ -1286,9 +1307,12 @@ FROM (
 
     from imdedup_plus_spark import topk as TK
 
+    from imdedup_plus_spark import ordering as ORD
+
     o["dedup_bloom_decontaminate"] = BF.bloom_decontaminate_sql(ID)
     o["corpus_cms_heavy_hitters"] = CS.cms_heavy_hitters_sql(ID)
     o["corpus_topk_grams"] = TK.topk_gram_bracket_sql(ID)
+    o["train_shuffle_shards"] = ORD.shuffle_shards_sql(ID)
     o["text_lm_quality"] = LQ.lm_quality_sql(ID)
     o["text_pii_scrub"] = (
         f"WITH piidocs AS (SELECT {ID}, "
