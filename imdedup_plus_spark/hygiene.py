@@ -122,6 +122,24 @@ def pii_scrub(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def pii_scrub_text(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Materialization form of :func:`pii_scrub`: ``(id_col,
+    scrubbed_text, n_pii)`` — the same replacement chain whose output
+    the driver row pins by fingerprint, emitted as the text itself (the
+    column a downstream pipeline stores). Kept separate from
+    ``pii_scrub`` so the oracle-checked observability row stays narrow."""
+    n_em = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_EMAIL)}', 0)) AS BIGINT)"
+    n_ip = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_IPV4)}', 0)) AS BIGINT)"
+    n_ph = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_PHONE)}', 0)) AS BIGINT)"
+    return docs.select(
+        F.col(id_col),
+        F.expr(_scrub_expr_spark(text_col)).alias("scrubbed_text"),
+        F.expr(f"{n_em} + {n_ip} + {n_ph}").alias("n_pii"),
+    )
+
+
 def pii_scrub_sql(id_col: str, table: str = "documents", text_col: str = "text") -> str:
     """DuckDB twin of ``pii_scrub`` (RE2 'g' flag = Java replace-all)."""
     n_em = f"CAST(len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS BIGINT)"
