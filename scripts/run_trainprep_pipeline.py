@@ -31,6 +31,13 @@ def main() -> int:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument(
+        "--id-expr",
+        default=None,
+        help="SQL expression deriving a numeric surrogate id when the "
+        "input has none (e.g. \"CAST(split_part(url, '/page/', 2) AS "
+        "BIGINT)\"); added as --id-col",
+    )
     ap.add_argument("--n-shards", type=int, default=8)
     ap.add_argument("--collapse-recrawls", action="store_true")
     ap.add_argument("--master", default="local[16]")
@@ -43,6 +50,10 @@ def main() -> int:
     spark = get_spark(master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+    if args.id_expr:
+        from pyspark.sql import functions as F
+
+        docs = docs.withColumn(args.id_col, F.expr(args.id_expr))
     pipe = TrainingPrepPipeline(
         spark,
         args.workdir,
