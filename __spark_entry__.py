@@ -225,11 +225,19 @@ _QUERY_ORDER = [
     # + SemDeDup — NEW in round 4: semantic dedup over IVF cells (coarse
     # k-means cell -> exact intra-cell cosine -> farthest keeper)
     "emb_ivf_ann_topk", "emb_semantic_dedup",
+    # product-quantization ADC top-k (pq.py — Jegou et al. 2011: one-
+    # BIGINT codes, 32x candidate compression, integer-micro asymmetric
+    # distances; coarse stage = the seedless hyperplane buckets) — NEW
+    # in round 4, sixth rotation: the slot came from events_sessionize
+    # (r01-r03-official-green; its §2.2 streaming/stateful categories
+    # stay officially covered by the in-window events_windowed_counts,
+    # and the sessionization parity battery remains in pytest)
+    "emb_pq_ann_topk",
     # relational / temporal / streaming: one official row per §2.2
     # category stays in-window (rollup covers grouped revenue; the
     # segment-window demo and monthly projection are r03-green, tail)
     "tpch_pricing_summary",
-    "events_sessionize", "events_json_extract",
+    "events_json_extract",
     "orders_rollup_revenue", "events_windowed_counts", "events_orders_asof",
     # ---- position 51+: pure projections / folds / same-lane variants of
     # checked lanes (dedup_gear_chunks = dedup_cdc_chunks's lane with the
@@ -310,6 +318,12 @@ _QUERY_ORDER = [
     # train_shuffle_shards; the embedding family keeps emb_ivf_ann_topk
     # + emb_semantic_dedup in-window
     "dedup_lsh_bands", "dedup_byte_roundtrip_check", "emb_lsh_ann_topk",
+    # sixth round-4 rotation tail: events_sessionize (r01-r03-official-
+    # green; stateful sessionization parity stays pytest-gated, §2.2
+    # streaming row = events_windowed_counts), rotated out for
+    # emb_pq_ann_topk. emb_pq_codes — the encode stage in
+    # emb_pq_ann_topk's direct lineage, tail from birth.
+    "events_sessionize", "emb_pq_codes",
 ]
 
 
@@ -618,6 +632,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF-flat lane: deterministic coarse quantizer -> inverted lists ->
     # nprobe probing (third ANN lane; see ann.ivf_ann_topk docstring)
     q["emb_ivf_ann_topk"] = lambda spark, sf: ann.ivf_ann_topk(_emb(spark, sf))
+
+    # --- product quantization (pq.py): encode = kernel production path
+    #     (codebook closed over one mapInPandas; bit-identical to the
+    #     Column/SQL forms, tests/test_pq.py); ADC top-k = the checked
+    #     compressed-domain scorer over the hyperplane buckets ---
+    def _pq_codes(spark, sf):
+        from imdedup_plus_spark import pq as PQm
+
+        return PQm.pq_encode_kernel(_emb(spark, sf))
+
+    q["emb_pq_codes"] = _pq_codes
+
+    def _pq_ann(spark, sf):
+        from imdedup_plus_spark import pq as PQm
+
+        return PQm.pq_ann_topk(_emb(spark, sf))
+
+    q["emb_pq_ann_topk"] = _pq_ann
     q["emb_ivf_cells"] = lambda spark, sf: ann.ivf_cells(_emb(spark, sf))
     # SemDeDup (Abbas et al. 2023): coarse k-means cell -> exact intra-cell
     # cosine -> farthest-from-centroid keeper; kernel form = Arrow-batched
@@ -1313,6 +1345,11 @@ FROM (
     o["corpus_cms_heavy_hitters"] = CS.cms_heavy_hitters_sql(ID)
     o["corpus_topk_grams"] = TK.topk_gram_bracket_sql(ID)
     o["train_shuffle_shards"] = ORD.shuffle_shards_sql(ID)
+
+    from imdedup_plus_spark import pq as PQm
+
+    o["emb_pq_codes"] = PQm.pq_encode_sql()
+    o["emb_pq_ann_topk"] = PQm.pq_ann_topk_sql()
     o["text_lm_quality"] = LQ.lm_quality_sql(ID)
     o["text_pii_scrub"] = (
         f"WITH piidocs AS (SELECT {ID}, "

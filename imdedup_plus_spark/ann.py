@@ -180,6 +180,25 @@ ranked AS (
 SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def hyperplane_bucket_sql(vec_col: str, n_planes: int, dim: int = DIM) -> str:
+    """DuckDB twin of ``hyperplane_bucket_expr`` (same K_INDEX sign
+    bits, same ordered fold) — shared by the LSH and PQ lanes."""
+    terms = []
+    for j in range(n_planes):
+        bits = K_INDEX[j]
+        signs = ", ".join(("1" if (bits >> d) & 1 else "-1") for d in range(dim))
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), i -> "
+            f"CAST({vec_col}[i] AS DOUBLE) * CAST([{signs}][i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
 def lsh_ann_topk_sql(k: int = 3, n_planes: int = 8, dim: int = DIM,
                      table: str = "embeddings") -> str:
     terms = []
