@@ -15,6 +15,7 @@ from imdedup_plus_spark import metrics as M
 from imdedup_plus_spark import relational as REL, signatures as S
 from imdedup_plus_spark import bloom as BF, hygiene as HG
 from imdedup_plus_spark import selection as SEL
+from imdedup_plus_spark import pq as PQm
 from imdedup_plus_spark import topk as TK
 from imdedup_plus_spark import trainprep as TP
 from imdedup_plus_spark.config import REFERENCE_CONFIG as cfg
@@ -52,6 +53,7 @@ def main() -> None:
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    _pq_cents = PQm.train_pq_codebooks(emb)
     ivf = ann.ivf_ann_topk(emb)
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
         F.col("user_id").alias("k"), "ts", "event_id"
@@ -143,6 +145,8 @@ def main() -> None:
         ("dsir_model_counts_kernel (per-partition dense bucket-count partials from ONE mapInPandas pass: the exchange is bounded at tasks x DSIR_V rows regardless of corpus size)", SEL.dsir_model_counts_kernel(docs, "doc_id")),
         ("distinct_shingle_hll_kernel (HLL: mapInPandas register partials — <=m rows per task — merged by ONE bounded groupBy(j).max exchange; the register fold is a 512-row agg; the shingle universe is never shuffled, distinct-ed OR sorted — cheaper combine than even the KMV bottom-k's distinct+limit)", M.distinct_shingle_hll_kernel(sig_k)),
         ("topk_gram_bracket_kernel (mergeable top-k: chunked-numpy (g,h,c) partials with map-side combine; the per-group rank window partitions by the id-range group — BOUNDED partitions by construction, never a corpus-keyed window; after pruning the merge joins n_groups*k rows against the broadcast threshold table; the exact verification term reuses the same partials, no second corpus pass)", TK.topk_gram_bracket_kernel(docs, "doc_id")),
+        ("pq_encode_kernel (PQ codes: ONE mapInPandas over the pruned (id, vector) scan — the 128-row codebook lives in the closure, ZERO shuffle; output is 16 bytes/vector)", PQm.pq_encode_kernel(emb, cents=_pq_cents)),
+        ("pq_ann_topk (ADC over hyperplane buckets: the candidate side is (id, bucket, code) — 24 bytes/vector, the raw neighbor vectors never join; per-pair M-row explode joins the BROADCAST codebook; one bucket-keyed exchange + the per-query rank window)", PQm.pq_ann_topk(emb, cents=_pq_cents)),
     ]
     out = ["# PLANS — formatted physical plans of the hot path\n"]
     out.append(
