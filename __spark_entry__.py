@@ -133,7 +133,7 @@ _QUERY_ORDER = [
     # dedup_cluster_keepers oracle) move to the tail. Ledger:
     # BENCH/BASELINE.md §rotation.
     "web_recrawl_dedup",
-    "dedup_exact_groups", "text_token_stats",
+    "dedup_exact_groups",
     "text_pii_scrub", "text_c4_filters",
     # CCNet LM-perplexity bucketing (lmquality.py) — NEW in round 4,
     # third rotation: the slot came from dedup_embedding_cosine (the
@@ -197,6 +197,13 @@ _QUERY_ORDER = [
     # codec family keeps its in-window row via dedup_jpeg_dct_signatures
     # below). Ledger: BENCH/BASELINE.md §rotation.
     "corpus_dsir_select", "corpus_unimax_alloc", "corpus_select_verdict",
+    # dataset card (per-language release summary over the verdict
+    # composition + token/quality/PII columns) — NEW in round 4, sixth
+    # rotation: the slot came from text_token_stats (r01-r03-official-
+    # green; its token-count arithmetic is replayed verbatim inside the
+    # card's qf CTE, the same displacement pattern as
+    # text_quality_score -> dedup_cluster_keepers)
+    "corpus_datacard",
     # leakage-safe train/test split — split by hash of CLUSTER, not doc,
     # so near-dups never straddle the boundary (Lee et al. 2022 §6.2's
     # train-test contamination). NEW in round 4, fourth rotation; the
@@ -323,7 +330,10 @@ _QUERY_ORDER = [
     # streaming row = events_windowed_counts), rotated out for
     # emb_pq_ann_topk. emb_pq_codes — the encode stage in
     # emb_pq_ann_topk's direct lineage, tail from birth.
-    "events_sessionize", "emb_pq_codes",
+    # text_token_stats — r01-r03-official-green; its token-count
+    # arithmetic is replayed verbatim inside the in-window
+    # corpus_datacard oracle (qf CTE), rotated out for that card.
+    "events_sessionize", "emb_pq_codes", "text_token_stats",
 ]
 
 
@@ -994,6 +1004,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_select_verdict"] = _select_verdict
 
+    # --- dataset card (per-language release summary): integer folds
+    #     over the verdict composition + token/quality/PII columns —
+    #     every per-document input is an already-checked lane; the card
+    #     adds only the groupBy ---
+    def _datacard(spark, sf):
+        from imdedup_plus_spark import hygiene as HG
+
+        docs = _docs(spark, sf)
+        v = _select_verdict(spark, sf)
+        toks = T.token_stats(docs, ID).select(ID, "n_tokens")
+        ql = T.quality_score(docs, ID).select(ID, "quality_permille")
+        pii = HG.pii_scrub(docs, ID).select(ID, "n_pii")
+        base = (
+            v.join(docs.select(ID, "lang"), ID)
+            .join(toks, ID)
+            .join(ql, ID)
+            .join(pii, ID)
+        )
+        return base.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.expr("kept * n_tokens")).cast("long").alias("kept_tokens"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dup"),
+            F.sum(F.expr("1 - neardup_keep")).cast("long").alias(
+                "n_neardup_dropped"
+            ),
+            F.sum("contaminated").cast("long").alias("n_contaminated"),
+            F.sum(F.expr("1 - c4_keep")).cast("long").alias("n_c4_fail"),
+            F.sum(F.expr("1 - repetition_pass")).cast("long").alias(
+                "n_repetition_fail"
+            ),
+            F.sum("n_pii").cast("long").alias("n_pii_total"),
+            F.expr(
+                "CAST(sum(quality_permille) div count(1) AS BIGINT)"
+            ).alias("mean_quality_permille"),
+            F.expr("CAST((1000 * sum(kept)) div count(1) AS BIGINT)").alias(
+                "kept_share_permille"
+            ),
+        )
+
+    q["corpus_datacard"] = _datacard
+
     def _cluster_split(spark, sf):
         from imdedup_plus_spark import selection as SEL
 
@@ -1045,16 +1098,13 @@ SELECT c.id AS doc_id, c.cluster_id, q.quality_permille,
 FROM clusters c JOIN qq q ON q.qid = c.id"""
 
 
-def _verdict_oracle_tail() -> str:
-    """Selection-verdict tail: the keeper window over the pipeline's
-    clusters CTE plus the exact-dup / decontamination / C4 / repetition
-    lanes embedded verbatim as nested-WITH CTEs — every component is the
-    SAME builder its own oracle row uses, so the composition adds no new
-    arithmetic (only the CASE in selection.verdict_case_sql)."""
+def _verdict_ctes() -> str:
+    """The verdict component CTEs (quality, keeper window, exact-dup,
+    decontamination, C4, repetition) — shared by the verdict and
+    datacard oracles; every component is the SAME builder its own
+    oracle row uses."""
     from imdedup_plus_spark import hygiene as HG
-    from imdedup_plus_spark import selection as SEL
 
-    case = SEL.verdict_case_sql()
     return f"""{_quality_ctes()},
 kp AS (
   SELECT c.id AS kid,
@@ -1067,8 +1117,16 @@ kp AS (
 exg AS ({T.exact_dup_groups_sql(ID)}),
 decq AS ({TP.decontaminate_sql(ID)}),
 c4q AS ({HG.c4_filters_sql(ID)}),
-repq AS ({TP.repetition_stats_sql(ID)})
-SELECT v.{ID}, v.is_exact_dup, v.neardup_keep, v.contaminated,
+repq AS ({TP.repetition_stats_sql(ID)})"""
+
+
+def _verdict_select() -> str:
+    """The per-document verdict SELECT over :func:`_verdict_ctes` —
+    the only new arithmetic is the CASE in selection.verdict_case_sql."""
+    from imdedup_plus_spark import selection as SEL
+
+    case = SEL.verdict_case_sql()
+    return f"""SELECT v.{ID}, v.is_exact_dup, v.neardup_keep, v.contaminated,
        v.c4_keep, v.repetition_pass,
        {case} AS verdict,
        CAST(({case}) = 'kept' AS INT) AS kept
@@ -1085,6 +1143,42 @@ FROM (
   JOIN c4q ON c4q.{ID} = exg.{ID}
   JOIN repq ON repq.{ID} = exg.{ID}
 ) v"""
+
+
+def _verdict_oracle_tail() -> str:
+    """Selection-verdict tail: component CTEs + the verdict SELECT."""
+    return _verdict_ctes() + "\n" + _verdict_select()
+
+
+def _datacard_oracle_tail() -> str:
+    """Dataset-card tail: the verdict composition wrapped as a CTE,
+    joined with the quality/token CTEs it already carries plus the PII
+    counter, folded per language — the card adds only integer
+    aggregates over already-checked per-document columns."""
+    from imdedup_plus_spark import hygiene as HG
+
+    return f"""{_verdict_ctes()},
+vrd AS ({_verdict_select()}),
+piic AS ({HG.pii_scrub_sql(ID)})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(qf.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(v.kept) AS BIGINT) AS n_kept,
+       CAST(sum(v.kept * qf.n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(sum(v.is_exact_dup) AS BIGINT) AS n_exact_dup,
+       CAST(sum(1 - v.neardup_keep) AS BIGINT) AS n_neardup_dropped,
+       CAST(sum(v.contaminated) AS BIGINT) AS n_contaminated,
+       CAST(sum(1 - v.c4_keep) AS BIGINT) AS n_c4_fail,
+       CAST(sum(1 - v.repetition_pass) AS BIGINT) AS n_repetition_fail,
+       CAST(sum(p.n_pii) AS BIGINT) AS n_pii_total,
+       CAST(sum(q.quality_permille) // count(*) AS BIGINT) AS mean_quality_permille,
+       CAST((1000 * sum(v.kept)) // count(*) AS BIGINT) AS kept_share_permille
+FROM vrd v
+JOIN documents d ON d.{ID} = v.{ID}
+JOIN qf ON qf.qid = v.{ID}
+JOIN qq q ON q.qid = v.{ID}
+JOIN piic p ON p.{ID} = v.{ID}
+GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1363,6 +1457,7 @@ FROM (
     o["corpus_dsir_select"] = SEL.dsir_select_sql(ID)
     o["corpus_unimax_alloc"] = SEL.unimax_alloc_sql(ID)
     o["corpus_select_verdict"] = sq(_verdict_oracle_tail())
+    o["corpus_datacard"] = sq(_datacard_oracle_tail())
     o["corpus_cluster_split"] = sq(
         f"SELECT id AS doc_id, cluster_id, "
         f"CAST({SEL.split_term('cluster_id')} AS BIGINT) AS split_permille, "
