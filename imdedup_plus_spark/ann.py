@@ -295,7 +295,15 @@ def train_ivf_codebook(
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, "cell_id int, cvec array<double>")
         cdf = cdf.withColumn("cnrm", F.expr(_norm_expr("cvec", dim)))
-        cos = f"round({_dot_expr('v', 'cvec', dim)} / (nrm * cnrm), 6)"
+        # a centroid can round to the zero vector (a denormal-norm input
+        # vector passes nrm > 0 but its round-6 image is all zeros;
+        # differential-fuzz finding): score it -2 (< any cosine) so it
+        # attracts nothing, identically in both engines — Spark raises
+        # DIVIDE_BY_ZERO under ANSI where DuckDB silently yields inf
+        cos = (
+            "CASE WHEN cnrm = 0.0 THEN CAST(-2.0 AS DOUBLE) ELSE "
+            f"round({_dot_expr('v', 'cvec', dim)} / (nrm * cnrm), 6) END"
+        )
         w = Window.partitionBy("vid").orderBy(
             F.col("cell_cos").desc(), F.col("cell_id").asc()
         )
@@ -350,7 +358,11 @@ def _ivf_scored(
         .withColumn("nrm", F.expr(_norm_expr(vec_col, dim)))
         .where(F.col("nrm") > 0)  # cosine domain excludes zero-norm vectors
     )
-    cos = f"round({_dot_expr(vec_col, 'cvec', dim)} / (nrm * cnrm), 6)"
+    # zero-centroid guard: see train_ivf_codebook (fuzz finding)
+    cos = (
+        "CASE WHEN cnrm = 0.0 THEN CAST(-2.0 AS DOUBLE) ELSE "
+        f"round({_dot_expr(vec_col, 'cvec', dim)} / (nrm * cnrm), 6) END"
+    )
     scored = e.crossJoin(F.broadcast(cdf)).withColumn("cell_cos", F.expr(cos))
     w = Window.partitionBy(id_col).orderBy(
         F.col("cell_cos").desc(), F.col("cell_id").asc()
@@ -438,9 +450,12 @@ c0 AS (
 )"""
     ]
     for t in range(iters):
+        # zero-centroid guard, same rule as the Spark train loop
         cos = (
+            f"CASE WHEN sqrt({_dot_sql('c.cvec', 'c.cvec', dim)}) = 0.0 "
+            "THEN CAST(-2.0 AS DOUBLE) ELSE "
             f"round({_dot_sql('t.v', 'c.cvec', dim)} / "
-            f"(t.nrm * sqrt({_dot_sql('c.cvec', 'c.cvec', dim)})), 6)"
+            f"(t.nrm * sqrt({_dot_sql('c.cvec', 'c.cvec', dim)})), 6) END"
         )
         parts.append(f"""a{t} AS (
   SELECT vid, v, cell_id FROM (
@@ -470,7 +485,10 @@ c{t + 1} AS (
 def _ivf_scored_sql(n_cells: int, dim: int, table: str,
                     iters: int = IVF_KMEANS_ITERS,
                     train_max: int = IVF_TRAIN_MAX) -> str:
-    cell_cos = f"round({_dot_sql('e.embedding', 's.cvec', dim)} / (e.nrm * s.cnrm), 6)"
+    cell_cos = (
+        "CASE WHEN s.cnrm = 0.0 THEN CAST(-2.0 AS DOUBLE) ELSE "
+        f"round({_dot_sql('e.embedding', 's.cvec', dim)} / (e.nrm * s.cnrm), 6) END"
+    )
     return f"""
 {_ivf_kmeans_ctes(n_cells, iters, train_max, dim, table)},
 e AS (
@@ -1064,7 +1082,14 @@ def semantic_dedup_kernel(
             acc = np.zeros((len(ids), len(cmat)), dtype=np.float64)
             for d in range(V.shape[1]):
                 acc += V[:, d][:, None] * cmat[:, d][None, :]
-            cc = np.round(acc / (nr[:, None] * cnrm[None, :]), 6)
+            # zero-centroid guard (fuzz finding): score -2, matching the
+            # SQL forms' CASE — never divide by a zero cnrm
+            safe = np.where(cnrm == 0.0, 1.0, cnrm)
+            cc = np.where(
+                (cnrm == 0.0)[None, :],
+                -2.0,
+                np.round(acc / (nr[:, None] * safe[None, :]), 6),
+            )
             best = np.argmax(cc, axis=1)  # first max = smallest cell_id
             yield pd.DataFrame(
                 {

@@ -164,7 +164,10 @@ def html_extract_roundtrip(docs: DataFrame, id_col: str, text_col: str = "text")
     original. The driver testdata carries no html column, so the page is
     synthesized deterministically — the extraction under test is real."""
     ext = html_to_text_col(wrapped_html_col(text_col))
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # the canonical explicit WS class, NOT \s: Java's \s includes \x0B,
+    # RE2's does not (differential-fuzz finding — the extractor itself
+    # already normalizes with _WS, the invariant must match it)
+    norm = F.trim(F.regexp_replace(F.col(text_col), _WS + "+", " "))
     return docs.select(
         F.col(id_col),
         ext.alias("extracted_text"),
@@ -174,7 +177,7 @@ def html_extract_roundtrip(docs: DataFrame, id_col: str, text_col: str = "text")
 
 def html_extract_roundtrip_sql(id_col: str, table: str = "documents") -> str:
     ext = html_to_text_sql(wrapped_html_sql("text"))
-    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    norm = f"trim(regexp_replace(text, '{_WS}+', ' ', 'g'))"
     return f"""
 SELECT {id_col}, {ext} AS extracted_text, ({ext} = {norm}) AS roundtrip_ok
 FROM {table}"""

@@ -57,7 +57,11 @@ def token_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFra
 #: The three alternatives match DISJOINT character classes, so
 #: leftmost-first (Java regex) and leftmost-longest agree — the count is
 #: engine-independent by construction (same string in DuckDB's RE2).
-BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+#: the whitespace atom is the engine's canonical 6-char WS class spelled
+#: explicitly — `\s` is NOT portable between the two compilers: Java's
+#: \s includes \x0B (vertical tab), RE2's does not, so a \x0B-bearing
+#: text counted differently per engine (found by differential fuzz)
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0B\f\r]"
 
 
 def bpe_token_stats(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
