@@ -296,7 +296,9 @@ def token_stats_sql(id_col: str, table: str = "documents") -> str:
     return f"""
 SELECT {id_col},
   CAST(len({toks}) AS BIGINT) AS n_tokens,
-  CAST(coalesce(list_aggregate(list_transform({toks}, t -> CAST(length(t) AS BIGINT)), 'sum'), 0) AS BIGINT) AS total_token_chars,
+  CAST(CASE WHEN text IS NULL THEN NULL
+       ELSE coalesce(list_aggregate(list_transform({toks}, t -> CAST(length(t) AS BIGINT)), 'sum'), 0)
+       END AS BIGINT) AS total_token_chars,
   CAST(length(text) AS BIGINT) AS n_chars
 FROM {table}"""
 

@@ -71,9 +71,18 @@ def gen_documents(seed: int):
     def add(text, lang="en", did=None):
         i = next_id[0] if did is None else did
         next_id[0] = max(next_id[0], i + 1)
-        rows.append((i, text, lang, f"fuzz{seed}", len(text)))
+        rows.append(
+            (i, text, lang, f"fuzz{seed}", len(text) if text is not None else 0)
+        )
 
-    # structural edge cases
+    # structural edge cases. NO null text: the documents table carries
+    # the engine's ingestion contract `text IS NOT NULL` (sources.py
+    # decode emits strings, valid_documents drops token-free docs) — a
+    # probed null row diverges in 7 observability lanes (str(None) in
+    # the Arrow kernels vs SQL NULL propagation, plus global-model
+    # shifts in bloom/dsir), which is the documented contract boundary,
+    # not a parity target. Engine-agreeing null behavior that IS part
+    # of the contract (e.g. token_stats NULL propagation) stays fixed.
     add("")                                  # empty
     add(" \t\n\x0b\x0c\r  ")                 # whitespace-only (WS class)
     add("one")                               # single token
