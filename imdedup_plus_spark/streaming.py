@@ -297,6 +297,13 @@ def incremental_dedup_batch(
       untruncated signature pass over the batch (narrow, no shuffle;
       fusing it into the signature kernel is the zero-cost variant a
       production build would pick)
+    * ``hll_registers/`` partitioned (epoch), only with
+      ``track_distinct=True`` — the batch's HLL register table
+      (``metrics.hll_registers_kernel``; <= HLL_M ``(j, r)`` rows).
+      Registers merge by elementwise MAX, so ``read_distinct_hll``
+      folds all epochs with one bounded groupBy max — the cheaper
+      sibling of the KMV fold (no distinct/sort/limit), same
+      union-over-ingested semantics
     * ``_epochs/``      one manifest json per committed epoch, written
       LAST — the write-ahead ordering that makes a clean replay a no-op
       (with ``track_distinct`` it also carries the batch's valid-doc and
@@ -547,11 +554,22 @@ def incremental_dedup_batch(
             sketch_store,
             ["epoch"],
         )
+        # the HLL register sibling: <= HLL_M (j, r) rows per epoch,
+        # folded by MAX at read time (metrics.py merge law) — the
+        # cheapest distinct summary a state store can carry
+        _dyn_overwrite(
+            M.hll_registers_kernel(sig_sk).withColumn(
+                "epoch", F.lit(epoch_id)
+            ),
+            f"{state_dir}/hll_registers",
+            ["epoch"],
+        )
         t = M._kmv_totals(sig_sk).collect()[0]
         from .config import KMV_EST_K
 
         sketch_stats = {
             "k": KMV_EST_K,
+            "hll_m": M.HLL_M,
             "n_docs": int(t["n_docs"]),
             "n_doc_shingles": int(t["n_doc_shingles"] or 0),
         }
@@ -1027,6 +1045,69 @@ def read_distinct_estimate(
         "n_docs long, n_doc_shingles long, _trunc int",
     )
     return M._kmv_assemble(totals, bot, k)
+
+
+def read_distinct_hll(
+    spark: SparkSession, state_dir: str, m: int | None = None
+) -> DataFrame:
+    """Fold every committed epoch's HLL registers into the one-row
+    distinct-shingle estimate — the same schema as
+    ``metrics.distinct_shingle_hll`` and, by the register-MAX merge law,
+    the IDENTICAL row the batch estimator would produce over all
+    ingested documents (tests/test_hll.py asserts bit-equality). At most
+    ``HLL_M`` rows read per epoch, merged by one bounded groupBy max —
+    no distinct, no sort, no limit: the cheapest of the engine's two
+    streaming distinct summaries (the KMV fold needs a distinct+sort).
+
+    Union-over-ingested-versions semantics, exactly as
+    :func:`read_distinct_estimate`; requires every committed epoch to
+    have been ingested with ``track_distinct=True`` on a build that
+    writes the register store (raises otherwise — a missing store would
+    silently undercount)."""
+    import json
+
+    from . import metrics as M
+
+    m = M.HLL_M if m is None else m
+    done = processed_epochs(state_dir)
+    store = f"{state_dir}/hll_registers"
+    if not done or not _store_exists(spark, store):
+        raise ValueError(f"no committed hll_registers state under {state_dir}")
+    n_docs = 0
+    n_doc_shingles = 0
+    for e in done:
+        with open(_epoch_manifest(state_dir, e)) as fh:
+            man = json.load(fh)
+        sk = man.get("sketch")
+        if sk is None:
+            raise ValueError(
+                f"epoch {e} was committed without track_distinct: the "
+                "register union would undercount — re-ingest with "
+                "track_distinct=True"
+            )
+        if sk.get("hll_m") is None:
+            raise ValueError(
+                f"epoch {e} predates the HLL register store: re-ingest "
+                "with track_distinct=True to materialize its registers"
+            )
+        if sk["hll_m"] != m:
+            raise ValueError(
+                f"epoch {e} registers were built at m={sk['hll_m']} != "
+                f"requested m={m}: register widths cannot be re-binned"
+            )
+        n_docs += sk["n_docs"]
+        n_doc_shingles += sk["n_doc_shingles"]
+    regs = (
+        spark.read.parquet(store)
+        .where(F.col("epoch").isin(done))
+        .groupBy("j")
+        .agg(F.max("r").alias("r"))
+    )
+    totals = spark.createDataFrame(
+        [(n_docs, n_doc_shingles, 0)],
+        "n_docs long, n_doc_shingles long, _trunc int",
+    )
+    return M._hll_assemble(totals, regs, m)
 
 
 def compact_state_store(

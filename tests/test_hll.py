@@ -152,6 +152,69 @@ def test_rho_range_exhaustive():
     assert rho_float.min() >= 1 and rho_float.max() <= M.HLL_S
 
 
+def test_streaming_register_union_is_exact(spark, fixture_corpus, tmp_path):
+    """Per-epoch HLL registers folded by read_distinct_hll must equal
+    the one-shot batch estimate over everything ingested — bit-exact
+    (the register-MAX merge law), including under identical-content
+    recrawls (supersede retirement never subtracts)."""
+    import dataclasses
+
+    from imdedup_plus_spark import streaming as ST
+    from imdedup_plus_spark.config import SCALE_CONFIG
+
+    state = str(tmp_path / "state")
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    b = F.crc32("url") % 3
+    for e in range(3):
+        ST.incremental_dedup_batch(
+            docs.where(b == e), state, SCALE_CONFIG, "url",
+            epoch_id=e, track_distinct=True, supersede=True,
+        )
+    inc = ST.read_distinct_hll(spark, state).collect()
+
+    ucfg = dataclasses.replace(SCALE_CONFIG, verify_sketch_k=0)
+    batch = M.distinct_shingle_hll_kernel(
+        S.signature_kernel_arrow(docs, ucfg, "url")
+    ).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in batch]
+
+    # identical-content recrawl wave: totals grow, registers (and so
+    # est_distinct / z_scaled / n_zero_regs) are unchanged
+    wave0 = docs.where(b == 0)
+    ST.incremental_dedup_batch(
+        wave0, state, SCALE_CONFIG, "url",
+        epoch_id=3, track_distinct=True, supersede=True,
+    )
+    after = ST.read_distinct_hll(spark, state).collect()[0]
+    before = batch[0]
+    w0 = M._kmv_totals(
+        S.signature_kernel_arrow(wave0, ucfg, "url")
+    ).collect()[0]
+    assert after.n_docs == before.n_docs + w0.n_docs
+    assert after.n_doc_shingles == before.n_doc_shingles + w0.n_doc_shingles
+    assert (after.n_zero_regs, after.z_scaled, after.est_distinct) == (
+        before.n_zero_regs, before.z_scaled, before.est_distinct
+    )
+
+
+def test_streaming_registerless_epoch_refused(spark, fixture_corpus, tmp_path):
+    from imdedup_plus_spark import streaming as ST
+    from imdedup_plus_spark.config import SCALE_CONFIG
+
+    state = str(tmp_path / "state")
+    docs = fixture_corpus.select("url", "warc_ts", "html", "text", "lang")
+    b = F.crc32("url") % 3
+    ST.incremental_dedup_batch(
+        docs.where(b == 0), state, SCALE_CONFIG, "url",
+        epoch_id=0, track_distinct=True,
+    )
+    ST.incremental_dedup_batch(
+        docs.where(b == 1), state, SCALE_CONFIG, "url", epoch_id=1
+    )
+    with pytest.raises(ValueError, match="without track_distinct"):
+        ST.read_distinct_hll(spark, state)
+
+
 def test_truncated_sets_refused(spark, fixture_corpus):
     # the totals guard is shared with the KMV lane: SCALE_CONFIG's per-doc
     # bottom-64 truncation is a biased sample — refuse loudly
