@@ -233,10 +233,10 @@ one_row AS (
 scores AS (
   SELECT id AS {id_col},
          CAST(len(wh) AS BIGINT) AS n_tokens,
-         (1000 * (list_aggregate(list_transform(wh,
+         CAST((1000 * (list_aggregate(list_transform(wh,
              h -> CAST(length(bin({q})) - 1 AS BIGINT)), 'sum')
            - {LM_Q_BITS} * CAST(len(wh) AS BIGINT)))
-           // CAST(len(wh) AS BIGINT) AS lm_bits_milli
+           // CAST(len(wh) AS BIGINT) AS BIGINT) AS lm_bits_milli
   FROM wh CROSS JOIN one_row o
   WHERE len(wh) > 0
 ),

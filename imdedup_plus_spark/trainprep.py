@@ -820,9 +820,9 @@ def pack_chunks_sql(
 ),
 cum AS (
   SELECT id, pack_bucket, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY id
+         CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS stream_offset
+           AS BIGINT) AS stream_offset
   FROM base
 )
 SELECT id AS {id_col}, pack_bucket, n_tokens, stream_offset,

@@ -32,7 +32,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from scripts.driver_check import TABLES, rowset
+from scripts.driver_check import TABLES, audit_oracle_types, rowset
 
 SF_BASE = "/root/testdata/sf0.01"
 
@@ -170,7 +170,9 @@ def run_seed(spark, seed: int, only: list[str] | None = None) -> list[str]:
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # through pandas, like the driver (see driver_check.rowset)
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL seed={seed} {name}: spark error {type(ex).__name__}: {str(ex)[:300]}")
@@ -179,12 +181,17 @@ def run_seed(spark, seed: int, only: list[str] | None = None) -> list[str]:
             print(f"skip seed={seed} {name}: no oracle (rows={len(srows)})")
             continue
         try:
-            cur = con.execute(os_[name])
-            dcols = [c[0] for c in cur.description]
-            drows = cur.fetchall()
+            typ_problems = audit_oracle_types(con, os_[name], sdf.schema)
+            ddf = con.execute(os_[name]).fetchdf()
+            dcols = list(ddf.columns)
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL seed={seed} {name}: duckdb error {type(ex).__name__}: {str(ex)[:300]}")
+            continue
+        if typ_problems:
+            failures.append(name)
+            print(f"FAIL seed={seed} {name}: oracle dtype audit {typ_problems}")
             continue
         try:
             a, b = rowset(scols, srows), rowset(dcols, drows)
