@@ -75,18 +75,32 @@ def _sq(pat: str) -> str:
     return pat.replace("\\", "\\\\")
 
 
-def _scrub_expr_spark(text_col: str) -> str:
-    """Nested regexp_replace chain, email -> ipv4 -> phone (emails may
-    contain digit runs, so they must leave the stream first)."""
+def _scrub_stages_spark(text_col: str) -> tuple[str, str, str]:
+    """The three progressive scrub stages, email -> ipv4 -> phone
+    (emails may contain digit runs, so they must leave the stream
+    first). Exposed per stage so the COUNTS can be taken on the text
+    each replacement actually ran on (ADVICE r04: counting all three
+    classes on the ORIGINAL text double-counts a digit run inside an
+    email relative to the replacements performed)."""
     e = f"regexp_replace({text_col}, '{_sq(PII_EMAIL)}', '{PII_REPL['email']}')"
     i = f"regexp_replace({e}, '{_sq(PII_IPV4)}', '{PII_REPL['ipv4']}')"
-    return f"regexp_replace({i}, '{_sq(PII_PHONE)}', '{PII_REPL['phone']}')"
+    p = f"regexp_replace({i}, '{_sq(PII_PHONE)}', '{PII_REPL['phone']}')"
+    return e, i, p
+
+
+def _scrub_expr_spark(text_col: str) -> str:
+    return _scrub_stages_spark(text_col)[2]
+
+
+def _scrub_stages_duck(text_col: str) -> tuple[str, str, str]:
+    e = f"regexp_replace({text_col}, '{PII_EMAIL}', '{PII_REPL['email']}', 'g')"
+    i = f"regexp_replace({e}, '{PII_IPV4}', '{PII_REPL['ipv4']}', 'g')"
+    p = f"regexp_replace({i}, '{PII_PHONE}', '{PII_REPL['phone']}', 'g')"
+    return e, i, p
 
 
 def _scrub_expr_duck(text_col: str) -> str:
-    e = f"regexp_replace({text_col}, '{PII_EMAIL}', '{PII_REPL['email']}', 'g')"
-    i = f"regexp_replace({e}, '{PII_IPV4}', '{PII_REPL['ipv4']}', 'g')"
-    return f"regexp_replace({i}, '{PII_PHONE}', '{PII_REPL['phone']}', 'g')"
+    return _scrub_stages_duck(text_col)[2]
 
 
 def _fp_lambda(whs: str) -> str:
@@ -106,10 +120,18 @@ def pii_scrub(docs: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     """(doc_id, n_emails, n_ipv4, n_phones, n_pii, scrub_fp): per-class
     redaction counts plus the rolling fingerprint of the scrubbed text
     (proves the replacement text, not just the counts, matches the
-    oracle bit for bit)."""
+    oracle bit for bit).
+
+    Each class is counted on the text its replacement actually ran on
+    (emails on the original, IPv4 on the email-scrubbed text, phones on
+    the email+IPv4-scrubbed text), so ``n_pii`` is the EXACT number of
+    replaced spans in ``scrubbed_text`` — a digit run inside an email is
+    not double-counted (ADVICE r04). Identical staging in the DuckDB
+    twin."""
+    e_stage, i_stage, _ = _scrub_stages_spark(text_col)
     n_em = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_EMAIL)}', 0)) AS BIGINT)"
-    n_ip = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_IPV4)}', 0)) AS BIGINT)"
-    n_ph = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_PHONE)}', 0)) AS BIGINT)"
+    n_ip = f"CAST(size(regexp_extract_all({e_stage}, '{_sq(PII_IPV4)}', 0)) AS BIGINT)"
+    n_ph = f"CAST(size(regexp_extract_all({i_stage}, '{_sq(PII_PHONE)}', 0)) AS BIGINT)"
     scrub = _scrub_expr_spark(text_col)
     fp = _fp_lambda(word_hashes_expr(tokens_expr(f"({scrub})")))
     return docs.select(
@@ -129,10 +151,13 @@ def pii_scrub_text(
     scrubbed_text, n_pii)`` — the same replacement chain whose output
     the driver row pins by fingerprint, emitted as the text itself (the
     column a downstream pipeline stores). Kept separate from
-    ``pii_scrub`` so the oracle-checked observability row stays narrow."""
+    ``pii_scrub`` so the oracle-checked observability row stays narrow.
+    ``n_pii`` uses the same stage-by-stage counting as ``pii_scrub`` —
+    it equals the number of replaced spans in ``scrubbed_text``."""
+    e_stage, i_stage, _ = _scrub_stages_spark(text_col)
     n_em = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_EMAIL)}', 0)) AS BIGINT)"
-    n_ip = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_IPV4)}', 0)) AS BIGINT)"
-    n_ph = f"CAST(size(regexp_extract_all({text_col}, '{_sq(PII_PHONE)}', 0)) AS BIGINT)"
+    n_ip = f"CAST(size(regexp_extract_all({e_stage}, '{_sq(PII_IPV4)}', 0)) AS BIGINT)"
+    n_ph = f"CAST(size(regexp_extract_all({i_stage}, '{_sq(PII_PHONE)}', 0)) AS BIGINT)"
     return docs.select(
         F.col(id_col),
         F.expr(_scrub_expr_spark(text_col)).alias("scrubbed_text"),
@@ -141,10 +166,12 @@ def pii_scrub_text(
 
 
 def pii_scrub_sql(id_col: str, table: str = "documents", text_col: str = "text") -> str:
-    """DuckDB twin of ``pii_scrub`` (RE2 'g' flag = Java replace-all)."""
+    """DuckDB twin of ``pii_scrub`` (RE2 'g' flag = Java replace-all;
+    same stage-by-stage counting)."""
+    e_stage, i_stage, _ = _scrub_stages_duck(text_col)
     n_em = f"CAST(len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS BIGINT)"
-    n_ip = f"CAST(len(regexp_extract_all({text_col}, '{PII_IPV4}')) AS BIGINT)"
-    n_ph = f"CAST(len(regexp_extract_all({text_col}, '{PII_PHONE}')) AS BIGINT)"
+    n_ip = f"CAST(len(regexp_extract_all({e_stage}, '{PII_IPV4}')) AS BIGINT)"
+    n_ph = f"CAST(len(regexp_extract_all({i_stage}, '{PII_PHONE}')) AS BIGINT)"
     scrub = _scrub_expr_duck(text_col)
     fp = _fp_sql(word_hashes_sql(tokens_sql(f"({scrub})")))
     return f"""

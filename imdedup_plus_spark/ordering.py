@@ -91,21 +91,51 @@ def shuffle_shards(
     ``pos`` is 0-based within the shard, ordered by the injective
     ``perm_h`` (id tiebreak kept as belt-and-braces; it can never fire
     for ids < PERM_P). Deterministic for any partitioning of the input.
+
+    Execution-time guards (ADVICE r04; the KMV truncation-guard
+    pattern): ids outside ``[0, PERM_P)`` — reachable via
+    ``run_trainprep_pipeline --id-expr`` with 64-bit surrogate hashes —
+    would silently wrap ``a_e * id`` under Spark's non-ANSI int64 (while
+    DuckDB raises on overflow), and NULL or duplicate ids void the
+    byte-identical-shards contract (a duplicate makes the (perm_h, id)
+    tiebreak partition-order-dependent). Both fail loudly here:
+
+    * range/NULL: a per-row CASE inside the narrow projection — zero
+      extra cost, raises on the first offending row;
+    * uniqueness: ``lag(perm_h)`` over the SAME window that ranks the
+      shard — the affine map mod a prime is injective on the (now
+      range-checked) domain, so equal adjacent perm_h ⟺ duplicate id.
+      Same window spec as ``row_number`` ⇒ one Window operator, zero
+      extra exchange.
     """
+    guarded_perm = F.expr(
+        f"CASE WHEN {id_col} IS NULL OR {id_col} < 0 "
+        f"OR {id_col} >= {PERM_P} THEN CAST(raise_error(concat("
+        f"'shuffle_shards: id out of domain [0, {PERM_P}): ', "
+        f"coalesce(CAST({id_col} AS STRING), 'NULL'), "
+        f"' — the affine permutation would wrap silently (non-ANSI "
+        f"int64); remap surrogate ids into the domain first')) AS "
+        f"BIGINT) ELSE pmod({_perm_expr(id_col, epoch)}, {PERM_P}) END"
+    )
     d = docs.select(
-        F.col(id_col),
-        F.expr(f"pmod({_perm_expr(id_col, epoch)}, {PERM_P})").alias(
-            "perm_h"
-        ),
+        F.col(id_col), guarded_perm.alias("perm_h")
     ).withColumn(
         "shard", F.expr(f"pmod(perm_h, {n_shards})")
     )
     w = Window.partitionBy("shard").orderBy(
         F.col("perm_h").asc(), F.col(id_col).asc()
     )
-    return d.withColumn(
-        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
-    ).select(id_col, "perm_h", "shard", "pos")
+    dup = F.lag("perm_h").over(w) == F.col("perm_h")
+    pos = F.when(
+        dup,
+        F.expr(
+            "CAST(raise_error(concat('shuffle_shards: duplicate id ', "
+            f"CAST({id_col} AS STRING), ' — shard positions would be "
+            "partition-order-dependent; deduplicate ids first')) AS "
+            "BIGINT)"
+        ),
+    ).otherwise((F.row_number().over(w) - F.lit(1)).cast("long"))
+    return d.withColumn("pos", pos).select(id_col, "perm_h", "shard", "pos")
 
 
 def shuffle_shards_sql(

@@ -138,3 +138,34 @@ def test_c4_substring_flags_and_word_len(spark):
     assert got[4][4] == 1 and got[4][2] == 1000
     assert got[5][4] == 1 and got[5][2] == 12000
     assert got[6][8] == 1 and all(got[6][i] == 0 for i in range(3, 8))
+
+
+def test_n_pii_counts_replacements_not_matches(spark):
+    """ADVICE r04: an IPv4-shaped substring INSIDE an email (or a phone
+    digit-run inside either) must count once — per-class counts are taken
+    on the text that class's replacement actually ran on, so n_pii equals
+    the number of replaced spans in scrubbed_text. Parity with DuckDB."""
+    rows = [
+        # host part of the email looks like an IPv4: pre-fix this counted
+        # n_emails=1 AND n_ipv4=1 (2 replacements never happened)
+        (1, "mail bob@10.0.0.1.example.com now", "en"),
+        # a plain ipv4 NOT inside an email still counts
+        (2, "server 10.0.0.1 down", "en"),
+        # both: one email (with ipv4-ish host) and one standalone ipv4
+        (3, "x bob@10.0.0.1.example.com y 192.168.0.7 z", "en"),
+    ]
+    got = {r[0]: r for r in _collect(H.pii_scrub(_mk_docs(spark, rows), "doc_id"))}
+    duck = {r[0]: r for r in _duck(rows, H.pii_scrub_sql("doc_id"))}
+    assert got == duck
+    # (doc_id, n_emails, n_ipv4, n_phones, n_pii, scrub_fp)
+    assert got[1][1] == 1 and got[1][2] == 0 and got[1][4] == 1
+    assert got[2][2] == 1 and got[2][4] == 1
+    assert got[3][1] == 1 and got[3][2] == 1 and got[3][4] == 2
+    # n_pii == number of replacement tokens in the scrubbed text
+    txt = {r[0]: r for r in _collect(
+        H.pii_scrub_text(_mk_docs(spark, rows), "doc_id"))}
+    for i in (1, 2, 3):
+        scrubbed = txt[i][1]
+        n_spans = scrubbed.count("xemailx") + scrubbed.count("xipx") + \
+            scrubbed.count("xphonex")
+        assert txt[i][2] == n_spans == got[i][4]

@@ -94,3 +94,43 @@ def test_affine_injectivity_property():
         assert np.unique(h).size == arr.size
 
     law()
+
+
+def test_id_domain_guard_out_of_range(spark):
+    """ADVICE r04: ids >= PERM_P (64-bit surrogate hashes) must raise
+    loudly, not wrap a_e*id under non-ANSI int64 arithmetic."""
+    from pyspark.errors import PySparkException
+
+    bad = spark.createDataFrame([(0,), (PERM_P,)], "doc_id long")
+    with pytest.raises(PySparkException, match="out of domain"):
+        ORD.shuffle_shards(bad, "doc_id").collect()
+    neg = spark.createDataFrame([(5,), (-1,)], "doc_id long")
+    with pytest.raises(PySparkException, match="out of domain"):
+        ORD.shuffle_shards(neg, "doc_id").collect()
+
+
+def test_id_domain_guard_null(spark):
+    from pyspark.errors import PySparkException
+
+    nul = spark.createDataFrame([(3,), (None,)], "doc_id long")
+    with pytest.raises(PySparkException, match="out of domain"):
+        ORD.shuffle_shards(nul, "doc_id").collect()
+
+
+def test_duplicate_id_guard(spark):
+    """Duplicate ids make the (perm_h, id) tiebreak partition-order-
+    dependent, silently voiding byte-identical shards — must raise."""
+    from pyspark.errors import PySparkException
+
+    dup = spark.createDataFrame([(7,), (7,), (9,)], "doc_id long")
+    with pytest.raises(PySparkException, match="duplicate id"):
+        ORD.shuffle_shards(dup, "doc_id").collect()
+
+
+def test_guards_pass_on_valid_boundary_ids(spark):
+    """Domain edges 0 and PERM_P-1 are valid; output unchanged shape."""
+    ok = spark.createDataFrame([(0,), (PERM_P - 1,), (123,)], "doc_id long")
+    rows = ORD.shuffle_shards(ok, "doc_id").collect()
+    assert len(rows) == 3
+    assert {r.doc_id for r in rows} == {0, PERM_P - 1, 123}
+    assert all(0 <= r.perm_h < PERM_P for r in rows)
