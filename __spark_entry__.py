@@ -177,7 +177,18 @@ _QUERY_ORDER = [
     # its in-window row via dedup_byte_spans, and the restore invariant
     # stays byte-exact-tested in tests/test_dirdedup.py)
     "corpus_topk_grams",
-    "web_line_clean_stats",
+    # round-5 rotation (ledger: BENCH/BASELINE.md §rotation):
+    # web_line_stats enters the window (the one query never to hold an
+    # official row, VERDICT r04 #8 — it carries the tokens-mode line-hash
+    # arithmetic) together with web_line_newline_stats (the
+    # line_split="newline" composition: line-dedup fold + Gopher
+    # repetition gate over the newline-embedding fixture, both lanes'
+    # SQL builders replayed in its oracle). Displaced to the tail:
+    # web_line_clean_stats (r04-official-green; its clean fold is
+    # replayed verbatim inside web_line_newline_stats' lcq CTE) and
+    # text_repetition_stats (r04-official-green; its permille/top-gram
+    # arithmetic is replayed verbatim inside the rpq CTE).
+    "web_line_stats", "web_line_newline_stats",
     "corpus_sample_stratified", "train_pack_chunks",
     # deterministic training-order shuffle (ordering.py — reproducible
     # shard + position per doc, epoch re-keyed permutation) — NEW in
@@ -185,7 +196,6 @@ _QUERY_ORDER = [
     # (r01-r03-official-green; the embedding family keeps two in-window
     # rows via emb_ivf_ann_topk + emb_semantic_dedup)
     "train_shuffle_shards",
-    "text_repetition_stats",
     # data-selection lanes (selection.py) — NEW in round 4, fourth
     # rotation: DSIR hashed-ngram importance resampling (Xie et al. 2023),
     # UniMax language-budget waterfill (Chung et al. 2023), and the
@@ -291,9 +301,11 @@ _QUERY_ORDER = [
     # projections of the in-window PNG/JPEG decode lanes, rotated out in
     # round 4 for the trainprep flagships above
     "mm_png_resize", "mm_jpeg_ycbcr_stats",
-    # web_line_stats: pre-clean projection of the in-window
-    # web_line_clean_stats lane (same line hashes, no removal fold)
-    "web_line_stats",
+    # web_line_clean_stats / text_repetition_stats: r04-official-green,
+    # rotated to the tail in round 5 for web_line_stats +
+    # web_line_newline_stats (their folds replayed inside the in-window
+    # composition's oracle CTEs; ledger: BENCH/BASELINE.md §rotation)
+    "web_line_clean_stats", "text_repetition_stats",
     # dedup_simhash_pairs: derived band-join over the in-window
     # text_simhash lane; r01+r02+r03-official-green, rotated out in
     # round 4 for text_repetition_stats
@@ -899,6 +911,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["web_line_clean_stats"] = lambda spark, sf: TP.line_clean_stats(
         _docs(spark, sf), ID
     )
+
+    # real-text splitter composition (round 5): the line-dedup fold AND
+    # the Gopher repetition gate under line_split="newline", over the
+    # deterministic newline-embedding fixture (the corpus carries no
+    # newlines — same fixture pattern as text_pii_scrub). One row per
+    # doc; the oracle replays BOTH lanes' checked SQL builders as nested
+    # CTEs over the same fixture.
+    def _line_nl(spark, sf):
+        docs = _docs(spark, sf).select(
+            ID, F.expr(TP.synth_newline_expr_spark(ID)).alias("text")
+        )
+        lc = TP.line_clean_stats(docs, ID, line_split="newline")
+        rep = TP.repetition_stats(docs, ID, line_split="newline").select(
+            F.col(ID).alias("rid"),
+            "dup_line_permille",
+            "dup_para_permille",
+            "repetition_pass",
+        )
+        return lc.join(rep, lc[ID] == rep["rid"]).drop("rid")
+
+    q["web_line_newline_stats"] = _line_nl
     q["corpus_sample_stratified"] = lambda spark, sf: TP.sample_stratified(
         _docs(spark, sf), ID
     )
@@ -1427,6 +1460,17 @@ FROM (
         "train_pack_chunks": TP.pack_chunks_sql(ID),
         "dedup_span_clean": TP.span_clean_text_sql(ID),
         "text_repetition_stats": TP.repetition_stats_sql(ID),
+        # round 5: both line lanes under the real-text splitter, over the
+        # newline-embedding fixture — each component is its checked SQL
+        # builder verbatim, nested as a CTE
+        "web_line_newline_stats": f"""WITH nldocs AS (
+  SELECT {ID}, {TP.synth_newline_expr_duck(ID)} AS text FROM documents
+),
+lcq AS ({TP.line_clean_stats_sql(ID, "nldocs", line_split="newline")}),
+rpq AS ({TP.repetition_stats_sql(ID, "nldocs", line_split="newline")})
+SELECT lcq.*, rpq.dup_line_permille, rpq.dup_para_permille,
+       rpq.repetition_pass
+FROM lcq JOIN rpq ON rpq.{ID} = lcq.{ID}""",
     }
     from imdedup_plus_spark import bloom as BF, hygiene as HG
     from imdedup_plus_spark import cms as CS, lmquality as LQ

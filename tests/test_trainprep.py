@@ -474,3 +474,96 @@ def test_decontaminate_kernel_short_and_empty_docs(spark):
     assert out[82]["n_doc_ngrams"] == 40 - 13 + 1
     assert out[82]["contaminated"] == 1
     assert out[82]["n_hit_ngrams"] > 0
+
+
+# ---------------------------------------------------------------------------
+# line_split="newline" — the real-text splitter knob (VERDICT r04 #6)
+# ---------------------------------------------------------------------------
+
+_NL_ROWS = [
+    # boilerplate line "cookie banner accept" in 3 docs; blank lines and
+    # trailing newlines; one doc with no newlines at all
+    (1, "welcome page one\ncookie banner accept\nunique alpha beta\n", "en"),
+    (2, "another page here\ncookie banner accept\n\nunique gamma delta", "en"),
+    (3, "cookie banner accept\nthird page text\n", "en"),
+    (4, "no newlines just one single line of words", "en"),
+    (5, "", "en"),
+    (6, "\n\n  \n", "en"),                      # whitespace-only lines
+    (7, "dup line\ndup line\ndup line\nfresh tail", "en"),  # intra-doc dups
+    (8, "para one words here\n\npara one words here\n\npara two", "en"),
+]
+
+
+def test_line_clean_stats_newline_parity_and_semantics(spark):
+    df = _mk_docs(spark, _NL_ROWS)
+    got = _collect(TP.line_clean_stats(df, "doc_id", line_split="newline"))
+    assert got == _duck(
+        _NL_ROWS, TP.line_clean_stats_sql("doc_id", line_split="newline")
+    )
+    by_id = {r[0]: r for r in got}
+    # docs 1-3 share exactly one boilerplate line
+    for i in (1, 2, 3):
+        assert by_id[i][2] == 1, by_id[i]
+    # doc 4: one line, nothing shared; doc 5/6: zero token-bearing lines
+    assert by_id[4] == (4, 1, 0, 1000)
+    assert by_id[5] == (5, 0, 0, 1000)
+    assert by_id[6] == (6, 0, 0, 1000)
+    # doc 7: intra-doc repeats are NOT cross-doc boilerplate
+    assert by_id[7] == (7, 4, 0, 1000)
+
+
+def test_line_stats_newline_parity(spark):
+    df = _mk_docs(spark, _NL_ROWS)
+    got = _collect(TP.line_stats(df, "doc_id", line_split="newline"))
+    assert got == _duck(
+        _NL_ROWS, TP.line_stats_sql("doc_id", line_split="newline")
+    )
+    # exactly one boilerplate hash (the cookie banner), in 3 docs
+    assert len(got) == 1 and got[0][1] == 3 and got[0][2] == 3
+
+
+def test_line_lanes_tokens_mode_unchanged_by_knob(spark):
+    """Default mode must be byte-identical to the pre-knob behavior on
+    newline-free text (the synthetic-corpus contract)."""
+    rows = [(1, " ".join(f"w{i}" for i in range(30)), "en"),
+            (2, " ".join(f"w{i}" for i in range(30)), "en")]
+    df = _mk_docs(spark, rows)
+    a = _collect(TP.line_clean_stats(df, "doc_id"))
+    b = _collect(TP.line_clean_stats(df, "doc_id", line_split="tokens"))
+    assert a == b
+    assert a == _duck(rows, TP.line_clean_stats_sql("doc_id"))
+
+
+def test_repetition_stats_newline_parity_all_three_forms(spark):
+    """Column form == DuckDB twin == kernel under the newline splitter,
+    on embedded-newline fixtures with blank-line paragraphs."""
+    rows = _NL_ROWS + [
+        # heavy line repetition -> dup_line > 300 permille
+        (9, "\n".join(["same line again"] * 8 + ["tail"]), "en"),
+        # paragraph repetition (blank-line separated)
+        (10, "\n\n".join(["para body words here"] * 5 + ["other"]), "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    col = _collect(TP.repetition_stats(df, "doc_id", line_split="newline"))
+    duck = _duck(
+        rows, TP.repetition_stats_sql("doc_id", line_split="newline")
+    )
+    ker = _collect(
+        TP.repetition_stats_kernel(df, "doc_id", line_split="newline")
+    )
+    assert col == duck
+    assert col == ker
+    by_id = {r[0]: r for r in col}
+    # (doc_id, n_tokens, n_lines, dup_line, dup_para, top2, top3, top4, pass)
+    assert by_id[9][3] > 300 and by_id[9][8] == 0     # line-repeat fails
+    assert by_id[10][4] > 300 and by_id[10][8] == 0   # para-repeat fails
+    assert by_id[5][2] == 0 and by_id[5][8] == 1      # empty doc passes
+    assert by_id[7][3] == 500                         # 2 of 4 lines dup
+
+
+def test_line_split_rejects_unknown_mode(spark):
+    df = _mk_docs(spark, _NL_ROWS[:1])
+    with pytest.raises(ValueError, match="line_split"):
+        TP.line_clean_stats(df, "doc_id", line_split="sentence")
+    with pytest.raises(ValueError, match="line_split"):
+        TP.repetition_stats_sql("doc_id", line_split="para")
