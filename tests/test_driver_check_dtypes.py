@@ -133,3 +133,19 @@ def test_no_hugeint_in_any_registered_oracle():
             if "HUGEINT" in ducktype.upper():
                 bad[name] = (colname, ducktype)
     assert bad == {}, f"HUGEINT oracle columns (driver hash will FAIL): {bad}"
+
+
+def test_rowset_equates_date_and_midnight_timestamp():
+    """The official gate equates Spark DATE with DuckDB date_trunc's
+    midnight TIMESTAMP (orders_monthly_revenue was hash-green in r1/r3
+    with that shape) — the mirror must not be stricter than the gate."""
+    import datetime as dt
+
+    import pandas as pd
+
+    a = rowset(["m"], [(dt.date(1995, 1, 1),)])
+    b = rowset(["m"], [(pd.Timestamp("1995-01-01 00:00:00"),)])
+    assert a == b
+    # but a non-midnight timestamp differs from the date
+    c = rowset(["m"], [(pd.Timestamp("1995-01-01 12:00:00"),)])
+    assert a != c
