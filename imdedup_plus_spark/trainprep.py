@@ -1053,18 +1053,25 @@ def repetition_stats(
     of ``index.c``'s repeated-block detection.
     """
     _check_line_split(line_split)
-    wh = _wh_df(docs, id_col, text_col)
     if line_split == "newline":
         # real-text splitters: line = newline, paragraph = blank line.
         # Token-stream metrics (n_tokens, top-grams) are unchanged —
         # WS_CLASS contains \n, so the full-doc token stream equals the
-        # concatenation of per-line token streams.
-        wh = wh.join(
-            docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+        # concatenation of per-line token streams. The wh array and the
+        # text column ride the SAME projection (no self-join: the first
+        # cut of this branch joined _wh_df back to docs on id, which
+        # Catalyst turns into a broadcast of the corpus at small SF and
+        # a full shuffle at scale — both pointless for two expressions
+        # over one scan).
+        wh = docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            F.expr(word_hashes_expr(tokens_expr(text_col))).alias("wh"),
         )
         line_arr = text_line_hashes_expr(text_col, LINE_SEP_PAT)
         para_arr = text_line_hashes_expr(text_col, PARA_SEP_PAT)
     else:
+        wh = _wh_df(docs, id_col, text_col)
         line_arr = line_hashes_expr("wh", line_tokens)
         para_arr = line_hashes_expr("wh", para_tokens)
     base = wh.select(

@@ -131,6 +131,8 @@ def main() -> None:
         ("pack_chunks (one window per pack bucket: a single exchange on pack_bucket, never a global sort)", TP.pack_chunks(docs, "doc_id")),
         ("repetition_stats (Gopher intra-doc gate: ZERO exchanges — dup-line/paragraph fractions via array_distinct, top-gram multiplicity via a sorted-run fold, all per-row folds over the pruned doc_id,text scan)", TP.repetition_stats(docs, "doc_id")),
         ("repetition_stats_kernel, scale path (ONE mapInPandas over the pruned scan, still zero exchanges; 28x the SQL form at 1.11M docs — 73.5k vs 2.6k docs/s)", TP.repetition_stats_kernel(docs, "doc_id")),
+        ("repetition_stats line_split=newline (round 5: real-text splitters — the per-line Horner folds move into the projection, STILL zero exchanges beyond the id join with the wh frame)", TP.repetition_stats(docs, "doc_id", line_split="newline")),
+        ("line_clean_stats line_split=newline (round 5: one line-hash exchange reused by the boilerplate join, same shape as tokens mode)", TP.line_clean_stats(docs, "doc_id", line_split="newline")),
         ("decontaminate, SQL form (per-doc distinct = array_distinct per-row fold: the corpus gram stream never shuffles; only benchmark-HIT grams reach the per-doc agg, final join is a narrow 3-scalar-column id shuffle — but the interpreted HOF folds anti-scale: abandoned after 40 min at 1.11M docs; kept as the oracle-shaped reference form)", TP.decontaminate(docs, "doc_id")),
         ("decontaminate_kernel, production path (benchmark gram set collected once — it is bounded by definition — and closed over the kernel; ONE mapInPandas over the pruned (id,text) scan, ZERO corpus exchanges)", TP.decontaminate_kernel(docs, "doc_id")),
         ("semantic_dedup_kernel (SemDeDup: ONE mapInPandas scores each Arrow batch against the codebook held inside the kernel — no n x n_cells row blowup, no JVM HOF folds; then ONE exchange on cell_id feeds the per-cell applyInPandas pairing; keeper fold is inside the same kernel, no join-back)", ann.semantic_dedup_kernel(emb)),
