@@ -567,3 +567,29 @@ def test_line_split_rejects_unknown_mode(spark):
         TP.line_clean_stats(df, "doc_id", line_split="sentence")
     with pytest.raises(ValueError, match="line_split"):
         TP.repetition_stats_sql("doc_id", line_split="para")
+
+
+def test_newline_splitter_crlf_and_exotic_ws_parity(spark):
+    """Windows line endings: splitting on \\n leaves the \\r inside the
+    segment, where the WS_CLASS tokenizer strips it — so CRLF text hashes
+    identically to LF text, in both engines."""
+    rows = [
+        (1, "alpha beta\r\ngamma delta\r\n\r\nepsilon", "en"),
+        (2, "alpha beta\ngamma delta\n\nepsilon", "en"),
+        (3, "tab\tsep\x0bvt\r\nform\ffeed", "en"),
+    ]
+    df = _mk_docs(spark, rows)
+    got = _collect(TP.line_clean_stats(df, "doc_id", line_split="newline"))
+    assert got == _duck(
+        rows, TP.line_clean_stats_sql("doc_id", line_split="newline")
+    )
+    rep = _collect(TP.repetition_stats(df, "doc_id", line_split="newline"))
+    assert rep == _duck(
+        rows, TP.repetition_stats_sql("doc_id", line_split="newline")
+    )
+    assert rep == _collect(
+        TP.repetition_stats_kernel(df, "doc_id", line_split="newline")
+    )
+    # CRLF doc 1 and LF doc 2 produce identical per-doc metrics
+    by_id = {r[0]: r[1:] for r in rep}
+    assert by_id[1] == by_id[2]
