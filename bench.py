@@ -388,7 +388,13 @@ SCALING_4N = os.environ.get("SCALING_4N", "local[4]")
 
 def run_scaling(n_base: int = 20000) -> None:
     """SCALING_N vs SCALING_4N on the identical fixture corpus. Reuses
-    half-measurements from run_scaling_half if present."""
+    half-measurements from run_scaling_half if present; otherwise each
+    half runs in a FRESH subprocess (`--scaling-half`). In-process
+    back-to-back halves are NOT equivalent: the second half reuses the
+    first half's JVM gateway, whose existing threads keep the first
+    half's narrow sched_setaffinity mask — measured as a uniform ~2x
+    slowdown of EVERY stage of the 4N half (signatures 41.6s vs 23s,
+    verify 228s vs 114s) with a healthy host probe."""
     corpus = ensure_corpus(n_base)
 
     def half(master, parts):
@@ -400,9 +406,17 @@ def run_scaling(n_base: int = 20000) -> None:
                 f"--scaling-half run; delete or rename it to re-measure)",
                 file=sys.stderr,
             )
-            with open(p) as fh:
-                return json.load(fh)
-        return _pipeline_docs_per_sec(master, corpus, parts)
+        else:
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-half", master],
+                check=True,
+                env={**os.environ, "SCALING_NBASE": str(n_base)},
+            )
+        with open(p) as fh:
+            return json.load(fh)
 
     r8 = half(SCALING_N, 256)
     r32 = half(SCALING_4N, 256)
